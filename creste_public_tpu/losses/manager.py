@@ -1,0 +1,535 @@
+"""Config-driven loss registry (LossManager) and the standard loss heads.
+
+Parity target: creste/utils/loss_utils.py (Loss base:25, LossManager:63 and
+the subclasses at the cited lines). Losses read prediction / label / mask
+tensors from a merged dict keyed ``inputs/...`` / ``outputs/...`` exactly
+like the reference, return ``{name: (weight, value)}`` pairs plus a metadata
+dict, and are filtered per task. All tensors are NHWC.
+
+Shape-policy differences from the torch reference (jit compatibility):
+boolean-mask *indexing* becomes mask-weighted reductions; ragged
+counterfactual lists become padded arrays with validity masks; the SupCon
+data-dependent sampling becomes a static sample budget (losses/supcon.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from creste_public_tpu.losses.supcon import (
+    capped_class_sample,
+    multi_pos_con_loss,
+    remap_labels_per_batch,
+)
+from creste_public_tpu.ops.rasterize import rasterize_trajectory
+
+Array = jax.Array
+
+
+def masked_mean(x: Array, mask: Array) -> Array:
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / jnp.clip(jnp.sum(m), 1.0, None)
+
+
+def smooth_l1(pred: Array, target: Array, beta: float) -> Array:
+    d = jnp.abs(pred - target)
+    return jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+
+
+def load_class_weights(path: str, epsilon_w: float = 1e-5) -> jnp.ndarray:
+    freq = np.loadtxt(path)
+    return jnp.asarray(1.0 / np.log(freq + epsilon_w), jnp.float32)
+
+
+class Loss:
+    """Base: applies static weight + optional learned log-variance weight
+    (Kendall-style, loss_utils.py:40-52)."""
+
+    def __init__(self, config: Any):
+        self.config = config
+        self.name = config["name"] + config.get("tag", "")
+        self.weight = float(config.get("weight", 1.0))
+        self.task = config.get("task", None)
+
+    def __call__(self, td: dict, aux: dict | None = None):
+        loss_dict, meta = self.loss(td, aux or {})
+        out = {}
+        logvar_key = self.config.get("logvar_key", None)
+        if logvar_key is not None:
+            log_var = td[logvar_key]
+            w = 1.0 / (2.0 * jnp.exp(log_var))
+            out["log_std"] = (1.0, 0.5 * jnp.sum(log_var))
+        else:
+            w = 1.0
+        out.update({k: (self.weight * w, v) for k, v in loss_dict.items()})
+        return out, meta
+
+    def loss(self, td: dict, aux: dict):
+        raise NotImplementedError
+
+
+class CrossEntropyDepth(Loss):
+    """Depth-as-classification over bins — loss_utils.py:477-527."""
+
+    def loss(self, td, aux):
+        from creste_public_tpu.utils import depth as du
+
+        pred = td[self.config["pred_key"]]  # [BS, H, W, D]
+        gt = td[self.config["lab_key"]]  # [B, S, H, W] mm
+        B, S, H, W = gt.shape
+        gt = gt.reshape(B * S, H, W)
+        if pred.shape[1:3] != gt.shape[1:3]:
+            gt = jax.image.resize(gt, (B * S,) + pred.shape[1:3], "nearest")
+        disc = self.config["discretize"]
+        nb = int(disc["num_bins"])
+        gt_bin = du.bin_depths(
+            gt, disc["mode"], float(disc["depth_min"]), float(disc["depth_max"]),
+            nb, target=True,
+        )
+        valid = gt_bin != nb
+        logq = jax.nn.log_softmax(pred, axis=-1)
+        ce = -jnp.take_along_axis(
+            logq, jnp.clip(gt_bin, 0, nb - 1)[..., None], axis=-1
+        )[..., 0]
+        loss = masked_mean(ce, valid)
+        acc = masked_mean(
+            (jnp.argmax(pred, -1) == gt_bin).astype(jnp.float32), valid
+        )
+        return {"depth/cls_loss": loss}, {"depth/acc": acc}
+
+
+class SmoothL1Depth(Loss):
+    """Metric-depth regression — loss_utils.py:530-573."""
+
+    def loss(self, td, aux):
+        from creste_public_tpu.utils import depth as du
+
+        pred = td[self.config["pred_key"]]  # [BS, H, W] meters
+        gt = td[self.config["lab_key"]]  # [B, S, H, W] mm
+        B, S, H, W = gt.shape
+        gt = gt.reshape(B * S, H, W)
+        if pred.shape[1:3] != gt.shape[1:3]:
+            gt = jax.image.resize(gt, (B * S,) + pred.shape[1:3], "nearest")
+        disc = self.config["discretize"]
+        nb = int(disc["num_bins"])
+        gt_bin = du.bin_depths(
+            gt, disc["mode"], float(disc["depth_min"]), float(disc["depth_max"]),
+            nb, target=True,
+        )
+        valid = gt_bin != nb
+        loss = masked_mean(
+            smooth_l1(pred, gt / 1000.0, float(self.config["beta"])), valid
+        )
+        return {"depth/reg_loss": loss}, {}
+
+
+class SmoothL1(Loss):
+    """Generic SmoothL1 with relative-channel mode — loss_utils.py:576-603."""
+
+    def loss(self, td, aux):
+        pred = td[self.config["pred_key"]]  # [B, H, W, C]
+        gt = td[self.config["lab_key"]]
+        if not self.config.get("absolute", False):
+            gt = gt.at[..., 1].set(gt[..., 1] - gt[..., 0])
+        if self.config.get("take_grad", False):
+            gy_p, gx_p = jnp.gradient(pred, axis=(1, 2))
+            gy_g, gx_g = jnp.gradient(gt, axis=(1, 2))
+            pred = jnp.concatenate([gy_p, gx_p], axis=-1)
+            gt = jnp.concatenate([gy_g, gx_g], axis=-1)
+        valid = jnp.isfinite(gt)
+        gt_safe = jnp.where(valid, gt, 0.0)
+        loss = masked_mean(
+            smooth_l1(pred, gt_safe, float(self.config["beta"])), valid
+        )
+        return {"val": loss}, {}
+
+
+class MSELoss(Loss):
+    """Dense feature-distillation MSE — loss_utils.py:606-647."""
+
+    def loss(self, td, aux):
+        pred = td[self.config["pred_key"]]
+        gt = td[self.config["lab_key"]]
+        valid = ~jnp.isinf(gt)
+        gt_safe = jnp.where(valid, gt, 0.0)
+        loss = masked_mean((pred - gt_safe) ** 2, valid)
+        return {"loss": loss}, {}
+
+
+class PEFreeMSELoss(Loss):
+    """Multi-view anchor/overlap consistency MSE — loss_utils.py:650-734."""
+
+    def loss(self, td, aux):
+        pred = td[self.config["pred_key"]]  # [BV, H, W, Z]
+        density = td[self.config["lab_key"]]  # [BV, H, W, 1]
+        V = int(self.config["num_views"]) + 1
+        thr = float(self.config.get("density_threshold", 1e-3))
+        BV, H, W, Z = pred.shape
+        B = BV // V
+        pred = pred.reshape(B, V, H, W, Z)
+        density = density.reshape(B, V, H, W, 1)
+        anchor, overlap = pred[:, :1], pred[:, 1:]
+        a_d, o_d = density[:, 0:1], density[:, 1:]
+        anchor = jnp.broadcast_to(anchor, overlap.shape)
+        log_d = jnp.log(a_d * o_d + 1e-5)
+        log_d = log_d - jnp.min(log_d, axis=1, keepdims=True)
+        rng_ = (
+            jnp.max(log_d, axis=1, keepdims=True)
+            - jnp.min(log_d, axis=1, keepdims=True)
+            + 1e-5
+        )
+        log_d = log_d / rng_
+        valid = jax.lax.stop_gradient(log_d > thr)
+        loss = masked_mean(
+            (anchor - overlap) ** 2, jnp.broadcast_to(valid, overlap.shape)
+        )
+        return {"loss": loss}, {}
+
+
+def _gt_mode(gt: Array, class_dim: int, epsilon_w: float = 1e-5) -> Array:
+    """[B, H, W, C] label tensor -> [B, H, W] class ids."""
+    if class_dim < 0:
+        prob = gt / (jnp.sum(gt, axis=-1, keepdims=True) + epsilon_w)
+        return jnp.argmax(prob, axis=-1)
+    return gt[..., class_dim].astype(jnp.int32)
+
+
+class CrossEntropy(Loss):
+    """BEV semantic CE with class weights + FOV mask — loss_utils.py:379-474."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.class_weights = (
+            load_class_weights(config["class_weights"])
+            if "class_weights" in config else None
+        )
+
+    def loss(self, td, aux):
+        pred = td[self.config["pred_key"]]  # [B, H, W, C]
+        gt = td[self.config["lab_key"]]  # [B, H, W, F]
+        fov = td[self.config.get("mask_key", "inputs/fov_mask")]
+        gt_mode = _gt_mode(gt, int(self.config.get("class_dim", -1)))
+        C = pred.shape[-1]
+        ignore = self.config.get("ignore_index", None)
+
+        valid = fov.astype(bool)
+        if ignore is not None:
+            valid = valid & (gt_mode != ignore)
+        safe = jnp.clip(gt_mode, 0, C - 1)
+        logq = jax.nn.log_softmax(pred, axis=-1)
+        ce = -jnp.take_along_axis(logq, safe[..., None], axis=-1)[..., 0]
+        if self.class_weights is not None:
+            w = self.class_weights[safe]
+            loss = jnp.sum(ce * w * valid) / jnp.clip(
+                jnp.sum(w * valid), 1e-6, None
+            )
+        else:
+            loss = masked_mean(ce, valid)
+
+        acc_valid = valid & (gt_mode != 0)  # 0 assumed ignore for the metric
+        acc = masked_mean(
+            (jnp.argmax(pred, -1) == gt_mode).astype(jnp.float32), acc_valid
+        )
+        task = self.config.get("task", "3d_ssc")
+        return {f"{task}/cls_loss": loss}, {f"{task}/mIoU": acc}
+
+
+class FocalLoss(Loss):
+    """Focal loss over BEV semantics — loss_utils.py:289-377 (kornia-style)."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.class_weights = (
+            load_class_weights(config["class_weights"])
+            if "class_weights" in config else None
+        )
+
+    def loss(self, td, aux):
+        pred = td[self.config["pred_key"]]
+        gt = td[self.config["lab_key"]]
+        fov = td[self.config.get("mask_key", "inputs/fov_mask")]
+        gt_mode = _gt_mode(gt, int(self.config.get("class_dim", -1)))
+        C = pred.shape[-1]
+        alpha = float(self.config.get("alpha", 0.25))
+        gamma = float(self.config.get("gamma", 2.0))
+
+        valid = fov.astype(bool)
+        safe = jnp.clip(gt_mode, 0, C - 1)
+        logq = jax.nn.log_softmax(pred, axis=-1)
+        logpt = jnp.take_along_axis(logq, safe[..., None], axis=-1)[..., 0]
+        pt = jnp.exp(logpt)
+        fl = -alpha * (1.0 - pt) ** gamma * logpt
+        if self.class_weights is not None:
+            fl = fl * self.class_weights[safe]
+        loss = masked_mean(fl, valid)
+
+        ignore = self.config.get("ignore_index", None)
+        acc_valid = valid
+        if ignore is not None:
+            acc_valid = acc_valid & (gt_mode != ignore)
+        acc = masked_mean(
+            (jnp.argmax(pred, -1) == gt_mode).astype(jnp.float32), acc_valid
+        )
+        task = self.config.get("task", "3d_ssc")
+        return {f"{task}/cls_loss": loss}, {f"{task}/FocalLoss/mIoU": acc}
+
+
+class SupPixelConLoss(Loss):
+    """SAM-instance pixel contrastive loss — loss_utils.py:203-286."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.class_weights = (
+            load_class_weights(config["class_weights"])
+            if "class_weights" in config else None
+        )
+        self.max_samples = int(config.get("max_samples", 2048))
+
+    def loss(self, td, aux):
+        preds = td[self.config["pred_key"]]  # [BV, H, W, Z]
+        gt = td[self.config["lab_key"]]  # [B, H, W, C] or [B, H, W]
+        fov = td[self.config.get("mask_key", "inputs/fov_mask")]
+        views = int(self.config.get("views", 1))
+        ignore = int(self.config.get("ignore_index", -1))
+        temp = float(self.config.get("temperature", 0.1))
+
+        if gt.ndim == 4 and gt.shape[-1] > 1:
+            label = jnp.argmax(gt, axis=-1)
+        elif gt.ndim == 4:
+            label = gt[..., 0]
+        else:
+            label = gt
+        label = label.astype(jnp.int32)
+
+        BV = preds.shape[0]
+        B = BV // views
+        H, W, Z = preds.shape[1:]
+        # anchor view only (view 0), matching loss_utils.py:259-273
+        preds0 = preds.reshape(B, views, H, W, Z)[:, 0]
+        label0 = label.reshape(B, views, H, W)[:, 0]
+        fov0 = fov.reshape(B, views, H, W)[:, 0] if fov.ndim == 3 and fov.shape[0] == BV else fov
+
+        if self.config.get("lab_key", "").endswith("3d_sam_label"):
+            label0 = remap_labels_per_batch(label0, ignore_idx=0)
+        valid = (label0 != ignore) & fov0.astype(bool)
+
+        flat_feats = preds0.reshape(-1, Z)
+        flat_labels = label0.reshape(-1)
+        flat_valid = valid.reshape(-1)
+        rng = aux.get("rng", None)
+        idx, sel_valid = capped_class_sample(
+            flat_labels, flat_valid, self.max_samples, cap=1000, rng=rng
+        )
+        feats = flat_feats[idx]
+        labels = flat_labels[idx]
+        loss = multi_pos_con_loss(
+            feats, labels, sel_valid,
+            temperature=temp,
+            class_weights=self.class_weights,
+            axis_name=aux.get("axis_name", None),
+        )
+        task = self.config.get("task", "3d_ssc")
+        key = self.config.get("lab_key", "x/x").split("/")[-1]
+        return {
+            f"{task}/{key}/supcon/sem_loss": loss,
+            f"{task}/{key}/supcon/img_loss": loss,
+        }, {}
+
+
+class MaxEntIRLLoss(Loss):
+    """MaxEnt IRL objective with counterfactual mixing and WGAN-style reward
+    gradient penalty — loss_utils.py:971-1259."""
+
+    def loss(self, td, aux):
+        exp_svf = td[self.config["pred_key"]]  # [B, H, W] policy SVF
+        gt = td[self.config["lab_key"]]  # [B, T, 3, 3] expert SE(2)
+        fov = td[self.config["fov_key"]]  # [B, Ho, Wo]
+        reward = td["outputs/traversability_preds"][..., 0]  # [B, H, W]
+        input_view = td["outputs/input_view"]
+
+        map_ds = float(self.config.get("map_ds", 2))
+        H, W = self.config.get("map_sz", [64, 128])
+        maxent_w = float(self.config.get("maxent_weight", 1.0))
+        reward_w = float(self.config.get("reward_weight", 0.1))
+        use_fov = bool(self.config.get("use_fov_mask", False))
+        alpha = self.config.get("alpha", None)
+
+        B, Ho, Wo = fov.shape
+        # resize to half res (nearest) then crop the front [0:H, 0:W]
+        fov_r = jax.image.resize(
+            fov.astype(jnp.float32), (B, Ho // 2, Wo // 2), "nearest"
+        )[:, :H, :W].astype(bool)
+
+        xy = gt[:, :, :2, 2]
+        svf = rasterize_trajectory(xy, map_ds, (H, W))
+
+        if use_fov:
+            svf = svf * fov_r
+            exp_svf = exp_svf * fov_r
+        svf = svf / (svf.sum((1, 2), keepdims=True) + 1e-5)
+        exp_svf = exp_svf / (exp_svf.sum((1, 2), keepdims=True) + 1e-5)
+
+        cf_svf_total = jnp.zeros_like(svf)
+        exp_svf_total = exp_svf
+        cf_key = self.config.get("cf_key", None)
+        if cf_key is not None and alpha is not None and cf_key in td and td[cf_key] is not None:
+            cf = td[cf_key]  # dict: trajectories [B,N,T,2], rank [B,N], valid [B,N]
+            traj = cf["trajectories"]
+            Bc, Nc, Tc, _ = traj.shape
+            bad = (cf["rank"] > 0) & cf["valid"].astype(bool)  # [B, N]
+            per_traj = rasterize_trajectory(
+                traj.reshape(Bc * Nc, Tc, 2), map_ds, (H, W)
+            ).reshape(Bc, Nc, H, W)
+            cf_svf = jnp.sum(per_traj * bad[..., None, None], axis=1)
+            cf_svf = cf_svf / (cf_svf.sum((1, 2), keepdims=True) + 1e-5)
+            has_cf = jnp.any(bad, axis=1)[:, None, None]
+            exp_svf = jnp.where(
+                has_cf, alpha * cf_svf + (1 - alpha) * exp_svf, exp_svf
+            )
+            cf_svf_total = jnp.where(has_cf, cf_svf, cf_svf_total)
+
+        if use_fov:
+            reward = reward * fov_r.astype(reward.dtype)
+
+        svf_rewards = jnp.sum(svf * reward, axis=(1, 2))
+        exp_rewards = jnp.sum(exp_svf * reward, axis=(1, 2))
+        visitation_loss = jnp.mean(exp_rewards) - jnp.mean(svf_rewards)
+
+        reward_penalty = jnp.asarray(0.0)
+        reward_fn = aux.get("reward_fn", None)
+        if reward_fn is not None and reward_w > 0:
+            grad_iv = jax.grad(lambda iv: reward_fn(iv).sum())(input_view)
+            gn = jnp.linalg.norm(grad_iv, axis=-1)  # channel L2 norm
+            reward_penalty = jnp.mean((gn - 1.0) ** 2)
+
+        loss = maxent_w * visitation_loss + reward_w * reward_penalty
+
+        cf_rewards = jnp.sum(
+            jax.lax.stop_gradient(cf_svf_total * reward), axis=(1, 2)
+        )
+        opt_rewards = jnp.sum(
+            jax.lax.stop_gradient(exp_svf_total * reward), axis=(1, 2)
+        )
+        has = cf_rewards != 0
+        meta = {
+            "reward_penalty": reward_w * reward_penalty,
+            "mean_expected_svf_rewards": jnp.mean(exp_rewards),
+            "mean_svf_rewards": jnp.mean(svf_rewards),
+            "sum_cf_rewards": jnp.sum(cf_rewards * has),
+            "sum_opt_rewards": jnp.sum(opt_rewards * has),
+        }
+        return {"maxentirl_loss": loss}, meta
+
+
+class BCActionLoss(Loss):
+    """BCE against nearest-action one-hots from expert deltas —
+    loss_utils.py:1261-1301."""
+
+    def loss(self, td, aux):
+        from creste_public_tpu.ops.value_iteration import DYNAMICS
+
+        pred = td[self.config["pred_key"]]  # [B, T, 8]
+        gt = td[self.config["lab_key"]]  # [B, T, 3, 3]
+        actions = jnp.asarray(DYNAMICS, jnp.float32)
+        deltas = gt[:, 1:, :2, 2] - gt[:, :-1, :2, 2]  # [B, T-1, 2]
+        dist = jnp.linalg.norm(
+            actions[None, None] - deltas[:, :, None, :], axis=-1
+        )
+        closest = jax.nn.one_hot(jnp.argmin(dist, axis=-1), 8)
+        p = jnp.clip(pred[:, 1:], 1e-7, 1 - 1e-7)
+        bce = -(closest * jnp.log(p) + (1 - closest) * jnp.log(1 - p))
+        T = pred.shape[1]
+        loss = bce.mean(axis=(0, 2)).sum() / T
+        return {"bc_action_loss": loss}, {}
+
+
+class TREXLoss(Loss):
+    """Pairwise preference (T-REX) loss over counterfactual rank pairs —
+    loss_utils.py:1303-1404, with padded counterfactual arrays."""
+
+    def loss(self, td, aux):
+        pred = td[self.config["pred_key"]][..., 0]  # [B, H, W]
+        cf = td[self.config["lab_key"]]
+        map_ds = float(self.config.get("map_ds", 2))
+        H, W = self.config.get("map_sz", [64, 128])
+        l1_reg = float(self.config.get("l1_reg", 0.1))
+
+        traj = jnp.round(cf["trajectories"] / map_ds).astype(jnp.int32)
+        traj = jnp.stack(
+            [jnp.clip(traj[..., 0], 0, H - 1), jnp.clip(traj[..., 1], 0, W - 1)],
+            axis=-1,
+        )  # [B, N, T, 2]
+        valid = cf["valid"].astype(bool)  # [B, N]
+        rank = cf["rank"]
+        B, N, T, _ = traj.shape
+
+        rew = pred[
+            jnp.arange(B)[:, None, None], traj[..., 0], traj[..., 1]
+        ].sum(-1)  # [B, N]
+
+        pref = valid & (rank == 0)
+        not_pref = valid & (rank > 0)
+        # pairwise [B, N, N]: (pref_i, not_pref_j)
+        pair_valid = pref[:, :, None] & not_pref[:, None, :]
+        r_pref = jnp.broadcast_to(rew[:, :, None], (B, N, N))
+        r_not = jnp.broadcast_to(rew[:, None, :], (B, N, N))
+        z = jnp.logaddexp(r_pref, r_not)
+        a, b = r_pref - z, r_not - z
+        p1 = a / (a + b + 1e-6)
+        # reference applies a softmax over the pair axis then sum-BCE with
+        # all-ones labels; with padded pairs we softmax over valid pairs
+        logits = jnp.where(pair_valid, p1, -jnp.inf)
+        flat = logits.reshape(B, -1)
+        sm = jax.nn.softmax(
+            jnp.where(jnp.isfinite(flat), flat, -1e9), axis=-1
+        )
+        sm = jnp.where(
+            pair_valid.reshape(B, -1), jnp.clip(sm, 1e-7, 1.0), 1.0
+        )
+        bce = -jnp.log(sm) * pair_valid.reshape(B, -1)
+        n_pairs = jnp.clip(pair_valid.sum(), 1, None)
+        l1 = jnp.mean(jnp.abs(pred))
+        loss = bce.sum() / (n_pairs + l1_reg * l1)
+        return {"trex_loss": loss}, {}
+
+
+_REGISTRY: dict[str, type[Loss]] = {
+    "CrossEntropyDepth": CrossEntropyDepth,
+    "SmoothL1Depth": SmoothL1Depth,
+    "SmoothL1": SmoothL1,
+    "MSELoss": MSELoss,
+    "PEFreeMSELoss": PEFreeMSELoss,
+    "CrossEntropy": CrossEntropy,
+    "FocalLoss": FocalLoss,
+    "SupPixelConLoss": SupPixelConLoss,
+    "MaxEntIRLLoss": MaxEntIRLLoss,
+    "BCActionLoss": BCActionLoss,
+    "TREXLoss": TREXLoss,
+}
+
+
+class LossManager:
+    """Dispatches configured losses over the merged tensor dict —
+    loss_utils.py:63-90."""
+
+    def __init__(self, config: Any):
+        self.losses = [_REGISTRY[lc["name"]](lc) for lc in config["loss"]]
+
+    def __call__(
+        self, tensor_dict: dict, aux: dict | None = None
+    ) -> tuple[dict, dict]:
+        loss_dict, meta = {}, {}
+        task = tensor_dict.get("task", None)
+        for loss in self.losses:
+            if loss.task is None or loss.task == task:
+                ld, md = loss(tensor_dict, aux)
+                loss_dict.update({f"{loss.name}/{k}": v for k, v in ld.items()})
+                meta.update({f"{loss.name}/{k}": v for k, v in md.items()})
+        return loss_dict, meta
+
+    @staticmethod
+    def total(loss_dict: dict) -> Array:
+        return sum(w * v for w, v in loss_dict.values())

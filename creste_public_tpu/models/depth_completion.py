@@ -1,0 +1,74 @@
+"""Depth completion: RGBD -> dense features + per-pixel depth distribution.
+
+Parity target: creste/models/depth.py:17-159 (DepthCompletion) +
+creste/models/vision_encoder.py:8 (VisionEncoder). The EffNet trunk produces
+``depth_embed_dim`` features at downsample ``ds``; a MultiLayerConv head
+yields per-bin depth logits; the metric depth is the differentiable softmax
+expectation over linspace bin values, divided by 1000 (mm -> m).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from creste_public_tpu.models.blocks.convnets import MultiLayerConv
+from creste_public_tpu.models.blocks.effnet import EffNet
+from creste_public_tpu.utils import depth as du
+
+Array = Any
+
+
+class VisionEncoder(nn.Module):
+    """Encoder selector — reference vision_encoder.py:8-54."""
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        name = self.cfg["name"]
+        if name != "efficientnet-b0":
+            raise NotImplementedError(f"Vision encoder {name}")
+        eff = self.cfg["effnet_cfgs"]
+        y, _ = EffNet(
+            in_channels=int(eff["in_channels"]),
+            out_channels=int(eff["out_channels"]),
+            image_size=tuple(eff["image_size"]),
+            downsample=int(eff["downsample"]),
+            name="effnet",
+        )(x, train)
+        return y
+
+
+class DepthCompletion(nn.Module):
+    """RGBD -> {depth_preds_logits, depth_preds_metric, depth_preds_bins,
+    depth_preds_feats} (NHWC; logits [B, H, W, D], metric in meters)."""
+
+    cfg: Any  # full model cfg with vision_backbone / depth_head / discretize
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> dict[str, Array]:
+        vision_cfg = self.cfg["vision_backbone"]
+        disc = self.cfg["discretize"]
+
+        feats = VisionEncoder(vision_cfg, name="vision_backbone")(x, train)
+        logits = MultiLayerConv(self.cfg["depth_head"], name="depth_head")(
+            feats, train
+        )
+
+        metric_mm = du.metric_depth_from_logits(
+            logits,
+            disc["mode"],
+            float(disc["depth_min"]),
+            float(disc["depth_max"]),
+            int(disc["num_bins"]),
+        )
+        outputs = {
+            "depth_preds_logits": logits,
+            "depth_preds_metric": metric_mm / 1000.0,
+            "depth_preds_bins": jnp.argmax(logits, axis=-1),
+        }
+        if vision_cfg.get("return_feats", True):
+            outputs["depth_preds_feats"] = feats
+        return outputs
