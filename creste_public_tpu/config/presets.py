@@ -144,6 +144,35 @@ def terrainnet_model_config(
                 },
                 "batch_size": 8,
                 "lr_scheduler": {"name": "ExponentialLR", "gamma": 0.98},
+                # stage-2 loss set (terrainnet_supcon_sam2dynelev_
+                # jointdinopretrain.yaml:92-135); class-weight files are
+                # optional — absent => uniform weights.
+                "loss": [
+                    {"name": "SupPixelConLoss", "views": 1, "weight": 1.0,
+                     "pred_key": "outputs/inpainting_sam_preds",
+                     "lab_key": "inputs/3d_sam_label",
+                     "ignore_index": 0, "temperature": 0.1, "task": "joint"},
+                    {"name": "CrossEntropy", "weight": 2.0,
+                     "pred_key": "outputs/inpainting_sam_dynamic_preds",
+                     "lab_key": "inputs/3d_sam_dynamic_label",
+                     "num_class": num_obj_class, "class_dim": 1,
+                     "task": "joint"},
+                    {"name": "MSELoss", "weight": 2.0,
+                     "pred_key": "outputs/dino_pe_feats",
+                     "lab_key": "inputs/fimg_label", "overlap_only": False},
+                    {"name": "CrossEntropyDepth", "weight": 0.5,
+                     "pred_key": "outputs/depth_preds_logits",
+                     "lab_key": "inputs/depth_label",
+                     "discretize": discretize_cfg(num_depth_bins)},
+                    {"name": "SmoothL1Depth", "weight": 0.1,
+                     "pred_key": "outputs/depth_preds_metric",
+                     "lab_key": "inputs/depth_label", "beta": 0.5,
+                     "discretize": discretize_cfg(num_depth_bins)},
+                    {"name": "SmoothL1", "weight": 3.0, "beta": 0.2,
+                     "pred_key": "outputs/elevation_preds",
+                     "lab_key": "inputs/elevation_label",
+                     "absolute": False, "task": "joint"},
+                ],
             }
         )
     )

@@ -89,7 +89,7 @@ class SyntheticCodaDataset:
         depth_cam = t_ground * rays[..., 2]  # z-depth in camera frame
         # box walls: vertical planes x = d for random distances
         for _ in range(3):
-            d = rng.uniform(3.0, 0.9 * self.map_range)
+            d = rng.uniform(min(3.0, 0.45 * self.map_range), 0.9 * self.map_range)
             y0 = rng.uniform(-6, 2)
             y1 = y0 + rng.uniform(1, 4)
             dx = rays_l[..., 0]

@@ -88,8 +88,11 @@ class TerrainNet(nn.Module):
             t_cfg = cfg["temporal_layer"]["net_kwargs"]
             ns = outputs["bev_features"].shape[0] // B
             merged = MergeUnit(t_cfg, name="temporal_layer")(
-                outputs["bev_features"], t=ns
+                outputs["bev_features"], t=ns, train=train
             )
+            if isinstance(merged, tuple):
+                merged, hidden = merged
+                outputs["temporal_hidden"] = hidden
             outputs["merged_bev_features"] = merged.reshape(
                 B, ns, *merged.shape[1:]
             )[:, -1]

@@ -1,0 +1,45 @@
+"""Device mesh + batch sharding helpers.
+
+One 'data' axis is the production layout for CREStE-scale models
+(SURVEY §2.7: reference uses DDP only; TP/PP/SP/EP absent by design).
+All helpers are host-side; collectives happen inside shard_map'd steps.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    devs = list(devices) if devices is not None else jax.devices()
+    n = num_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (DATA_AXIS,))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device_put the host batch with leading-axis sharding over 'data'."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Device_put a pytree fully replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding)
+        if hasattr(x, "ndim")
+        else x,
+        tree,
+    )

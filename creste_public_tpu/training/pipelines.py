@@ -1,0 +1,160 @@
+"""Stage pipelines: model + LossManager + optimizer -> SPMD train step.
+
+Replaces the reference's three LightningModules (train_pefree.py:35
+DistillationModel, train_ssc.py:43 TerrainNetModel, train_traversability.py:34
+MaxEntIRLModel) with pure-functional JAX training:
+
+  * one loss closure per stage mapping the host batch (inputs/...) and model
+    outputs (outputs/...) into the merged tensor dict the LossManager reads,
+  * `jax.value_and_grad` + psum-mean over the 'data' mesh axis
+    (training/state.py) instead of Lightning's DDP backward,
+  * stage-3 manual optimization (automatic_optimization=False,
+    train_traversability.py:39) is the natural form here — every step is
+    explicit,
+  * the IRL gradient penalty uses `jax.grad` through the reward head only,
+    with the backbone cut off by `stop_gradient` (vin.py:110-117 contract).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from creste_public_tpu.losses import LossManager
+from creste_public_tpu.models.distillation import DistillationBackbone
+from creste_public_tpu.models.lfd import MaxEntIRL
+from creste_public_tpu.models.terrainnet import TerrainNet
+from creste_public_tpu.training import optim
+from creste_public_tpu.training.state import (
+    TrainState,
+    data_parallel_train_step,
+)
+
+Array = Any
+
+STAGES = ("distillation", "ssc", "traversability")
+
+
+def build_model(stage: str, cfg: Any):
+    cfg = cfg.to_dict() if hasattr(cfg, "to_dict") else cfg
+    if stage == "distillation":
+        return DistillationBackbone(cfg)
+    if stage == "ssc":
+        return TerrainNet(cfg)
+    if stage == "traversability":
+        return MaxEntIRL(cfg)
+    raise ValueError(f"Unknown stage: {stage} (expected one of {STAGES})")
+
+
+def model_inputs(stage: str, batch: dict) -> tuple:
+    """Positional model args for a stage from the batch dict."""
+    rgbd = batch["image"]
+    p2p = batch["p2p"]
+    if stage == "distillation":
+        return (rgbd, p2p)
+    if stage == "ssc":
+        return (rgbd, p2p, batch.get("mv_mask", None))
+    return (rgbd, p2p, batch.get("traversability_label", None))
+
+
+def merge_tensor_dict(batch: dict, outputs: dict, task: str | None) -> dict:
+    td: dict = {}
+    for k, v in batch.items():
+        td[f"inputs/{k}"] = v
+    for k, v in outputs.items():
+        td[f"outputs/{k}"] = v
+    if task is not None:
+        td["task"] = task
+    return td
+
+
+def make_loss_closure(
+    stage: str,
+    model,
+    loss_manager: LossManager,
+    task: str | None = None,
+) -> Callable:
+    """loss_and_updates(params, batch_stats, batch, rng, axis_name) ->
+    (total, (new_batch_stats, metrics)) for data_parallel_train_step."""
+
+    def loss_and_updates(params, batch_stats, batch, rng, axis_name=None):
+        variables = {"params": params, "batch_stats": batch_stats}
+        args = model_inputs(stage, batch)
+        outputs, mutated = model.apply(
+            variables,
+            *args,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        td = merge_tensor_dict(batch, outputs, task)
+        aux = {"rng": rng, "axis_name": axis_name}
+        if stage == "traversability":
+            # WGAN-style gradient-penalty hook: reward-net-only forward on
+            # the (already stop-gradient) input_view. Eval-mode BN — the
+            # penalty must not perturb running stats.
+            aux["reward_fn"] = lambda iv: model.apply(
+                variables, iv, False, method=MaxEntIRL.reward
+            )
+        loss_dict, meta = loss_manager(td, aux)
+        total = LossManager.total(loss_dict)
+        metrics = {k: w * v for k, (w, v) in loss_dict.items()}
+        metrics.update(
+            {k: v for k, v in meta.items() if jnp.ndim(v) == 0}
+        )
+        return total, (mutated["batch_stats"], metrics)
+
+    return loss_and_updates
+
+
+def init_stage(
+    stage: str,
+    cfg: Any,
+    sample_batch: dict,
+    seed: int = 0,
+    steps_per_epoch: int = 100,
+    frozen_pred=None,
+):
+    """Initialise (model, loss_manager, state, tx) for a stage.
+
+    frozen_pred: optional path predicate marking frozen params (see
+    optim.LOAD_SETTING_FROZEN); stage 'traversability' defaults to freezing
+    the whole backbone (lfd.py:81-90 strict_freeze).
+    """
+    cfg_d = cfg.to_dict() if hasattr(cfg, "to_dict") else cfg
+    model = build_model(stage, cfg_d)
+    loss_manager = LossManager(cfg_d)
+
+    args = model_inputs(stage, jax.tree_util.tree_map(jnp.asarray, sample_batch))
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        *args,
+        train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    if frozen_pred is None and stage == "traversability":
+        frozen_pred = lambda p: p.startswith("backbone")  # noqa: E731
+    mask = optim.freeze_mask(params, frozen_pred) if frozen_pred else None
+    tx = optim.make_optimizer(
+        cfg_d.get("optimizer", {}),
+        cfg_d.get("lr_scheduler", {}),
+        steps_per_epoch,
+        trainable_mask=mask,
+    )
+    state = TrainState.create(params, batch_stats, tx)
+    return model, loss_manager, state, tx
+
+
+def make_train_step(stage, model, loss_manager, tx, mesh, task=None):
+    closure = make_loss_closure(stage, model, loss_manager, task=task)
+    return data_parallel_train_step(closure, tx, mesh)
+
+
+def host_batch(batch: dict) -> dict:
+    """np-ify a batch (drop None leaves)."""
+    return jax.tree_util.tree_map(np.asarray, batch)

@@ -26,7 +26,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
+
+from creste_public_tpu.parallel.mesh import (  # noqa: F401 (re-exported)
+    make_mesh,
+    shard_batch,
+)
 
 
 @struct.dataclass
@@ -44,12 +49,6 @@ class TrainState:
             batch_stats=batch_stats,
             opt_state=tx.init(params),
         )
-
-
-def make_mesh(num_devices: int | None = None) -> Mesh:
-    devs = jax.devices()
-    n = num_devices or len(devs)
-    return Mesh(np.array(devs[:n]), ("data",))
 
 
 def data_parallel_train_step(
@@ -109,15 +108,3 @@ def data_parallel_train_step(
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
-
-
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device_put the host batch with leading-axis sharding over 'data'."""
-    sharding = NamedSharding(mesh, P("data"))
-
-    def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
-            return jax.device_put(x, sharding)
-        return x
-
-    return jax.tree_util.tree_map(put, batch)
