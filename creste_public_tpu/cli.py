@@ -1,0 +1,76 @@
+"""Shared CLI harness for the three training entry points.
+
+Mirrors the reference's Hydra mains (train_pefree.py:307, train_ssc.py:360,
+train_traversability.py:418): `python -m creste_public_tpu.train_ssc
+trainer=standard_single model.batch_size=4 ...` composes the matching root
+config from ./configs (group selections + dotted overrides) and launches the
+stage training loop on the synthetic mini split or the on-disk CODa dataset.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from typing import Any
+
+from creste_public_tpu.config.config import Config, compose_cli
+from creste_public_tpu.data.dataloader import EpochLoader, build_dataset
+from creste_public_tpu.training.loop import run_training
+
+CONFIG_DIR = os.environ.get(
+    "CRESTE_CONFIG_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "configs"),
+)
+
+
+def launch(root: str, argv: list[str] | None = None) -> Any:
+    from creste_public_tpu.utils.platform import ensure_env_platform
+
+    ensure_env_platform()
+    argv = sys.argv[1:] if argv is None else argv
+    cfg = compose_cli(root, CONFIG_DIR, argv)
+    return train_from_config(cfg)
+
+
+def train_from_config(cfg: Config) -> Any:
+    stage = cfg["stage"]
+    model_cfg = Config(cfg["model"])
+    ds_cfg = Config(cfg["dataset"])
+    tcfg = Config(cfg["trainer"])
+    task = cfg.get("task", None)
+
+    train_ds = build_dataset(ds_cfg, "train")
+    val_ds = build_dataset(ds_cfg, "val")
+    batch = int(model_cfg.get("batch_size", 4))
+    train_loader = EpochLoader(train_ds, batch, shuffle=True,
+                               seed=int(tcfg.get("seed", 0)))
+    val_loader = EpochLoader(val_ds, batch, shuffle=False, drop_last=False)
+    tcfg["steps_per_epoch"] = max(len(train_loader), 1)
+
+    load_weights = None
+    load_setting = model_cfg.get("load_setting", "strict")
+    weights_path = model_cfg.get("weights_path", "") or cfg.get(
+        "weights_path", ""
+    )
+    if weights_path:
+        from creste_public_tpu.training.surgery import make_stage_loader
+
+        load_weights = make_stage_loader(stage, weights_path, load_setting)
+
+    from creste_public_tpu.training.optim import LOAD_SETTING_FROZEN
+
+    frozen_pred = LOAD_SETTING_FROZEN.get(load_setting)
+    if stage == "traversability":
+        # lfd.py:81-90 forces the backbone frozen regardless of setting
+        frozen_pred = lambda p: p.startswith("backbone")  # noqa: E731
+
+    return run_training(
+        stage,
+        model_cfg,
+        lambda e: train_loader.epoch(e),
+        lambda: val_loader.epoch(0),
+        trainer_cfg=tcfg,
+        task=task,
+        load_weights=load_weights,
+        frozen_pred=frozen_pred,
+    )

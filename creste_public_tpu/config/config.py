@@ -107,6 +107,7 @@ def compose(
     root: str,
     config_dir: str,
     overrides: Iterable[str] = (),
+    group_overrides: Mapping[str, str] | None = None,
 ) -> Config:
     """Compose ``{config_dir}/{root}.yaml`` following its ``defaults:`` list.
 
@@ -119,11 +120,37 @@ def compose(
     ``dest`` within that group's config.
     """
     root_path = os.path.join(config_dir, root if root.endswith(".yaml") else root + ".yaml")
-    cfg = _compose_file(root_path, config_dir, top_level=True)
+    cfg = _compose_file(
+        root_path, config_dir, top_level=True,
+        group_overrides=group_overrides,
+    )
     return apply_overrides(cfg, overrides)
 
 
-def _compose_file(path: str, config_dir: str, top_level: bool = False) -> Config:
+def compose_cli(
+    root: str, config_dir: str, argv: Iterable[str]
+) -> Config:
+    """Hydra-CLI-style composition: bare ``group=option`` args select group
+    files (e.g. ``trainer=standard_single``, docs/TRAINING.md:38 usage),
+    dotted args are value overrides."""
+    groups, dotted = {}, []
+    for ov in argv:
+        key, _, val = ov.partition("=")
+        if "." not in key and os.path.isdir(
+            os.path.join(config_dir, key.lstrip("+"))
+        ):
+            groups[key.lstrip("+")] = val
+        else:
+            dotted.append(ov)
+    return compose(root, config_dir, dotted, group_overrides=groups)
+
+
+def _compose_file(
+    path: str,
+    config_dir: str,
+    top_level: bool = False,
+    group_overrides: Mapping[str, str] | None = None,
+) -> Config:
     raw = load_yaml(path)
     defaults = raw.pop("defaults", None)
     self_cfg = raw
@@ -143,6 +170,8 @@ def _compose_file(path: str, config_dir: str, top_level: bool = False) -> Config
             if not isinstance(entry, Mapping) or len(entry) != 1:
                 raise ValueError(f"Unsupported defaults entry {entry!r} in {path}")
             (key, option), = entry.items()
+            if group_overrides and key.split("@")[0] in group_overrides:
+                option = group_overrides[key.split("@")[0]]
             option = str(option)
             if option.endswith(".yaml"):
                 option = option[: -len(".yaml")]

@@ -13,12 +13,12 @@ from __future__ import annotations
 from creste_public_tpu.config.config import Config
 
 
-def discretize_cfg(num_bins: int = 128) -> dict:
+def discretize_cfg(num_bins: int = 128, depth_max: int = 25600) -> dict:
     return {
         "mode": "UD",
         "num_bins": num_bins,
         "depth_min": 300,  # mm
-        "depth_max": 25600,  # mm
+        "depth_max": depth_max,  # mm
     }
 
 
@@ -27,13 +27,14 @@ def distillation_model_config(
     depth_embed_dim: int = 256,
     fdn_embed_dim: int = 128,
     num_depth_bins: int = 128,
+    depth_max: int = 25600,
 ) -> Config:
     """Stage-1 DistillationBackbone config (effnet_ds2_dinov2_128.yaml)."""
     return Config(
         {
             "project_name": "Dinov2Distillation",
             "views": 1,
-            "discretize": discretize_cfg(num_depth_bins),
+            "discretize": discretize_cfg(num_depth_bins, depth_max),
             "vision_backbone": {
                 "class_name": "DistillationBackbone",
                 "name": "efficientnet-b0",
@@ -71,11 +72,11 @@ def distillation_model_config(
                 {"name": "CrossEntropyDepth", "weight": 0.5,
                  "pred_key": "outputs/depth_preds_logits",
                  "lab_key": "inputs/depth_label",
-                 "discretize": discretize_cfg(num_depth_bins)},
+                 "discretize": discretize_cfg(num_depth_bins, depth_max)},
                 {"name": "SmoothL1Depth", "weight": 0.1,
                  "pred_key": "outputs/depth_preds_metric",
                  "lab_key": "inputs/depth_label", "beta": 0.5,
-                 "discretize": discretize_cfg(num_depth_bins)},
+                 "discretize": discretize_cfg(num_depth_bins, depth_max)},
                 {"name": "MSELoss", "weight": 1.0,
                  "pred_key": "outputs/dino_pe_feats",
                  "lab_key": "inputs/fimg_label", "overlap_only": False},
@@ -91,6 +92,7 @@ def terrainnet_model_config(
     depth_embed_dim: int = 256,
     fdn_embed_dim: int = 128,
     num_depth_bins: int = 128,
+    depth_max: int = 25600,
     inpainting_sam_dim: int = 32,
     num_obj_class: int = 6,
     z_embed_dim: int = 32,
@@ -98,7 +100,7 @@ def terrainnet_model_config(
 ) -> Config:
     """Stage-2 TerrainNet config (terrainnet_supcon_sam2dynelev_jointdinopretrain.yaml)."""
     base = distillation_model_config(
-        image_size, depth_embed_dim, fdn_embed_dim, num_depth_bins
+        image_size, depth_embed_dim, fdn_embed_dim, num_depth_bins, depth_max
     )
     voxel = 2 * map_range / grid
     base = Config(base)
@@ -163,11 +165,11 @@ def terrainnet_model_config(
                     {"name": "CrossEntropyDepth", "weight": 0.5,
                      "pred_key": "outputs/depth_preds_logits",
                      "lab_key": "inputs/depth_label",
-                     "discretize": discretize_cfg(num_depth_bins)},
+                     "discretize": discretize_cfg(num_depth_bins, depth_max)},
                     {"name": "SmoothL1Depth", "weight": 0.1,
                      "pred_key": "outputs/depth_preds_metric",
                      "lab_key": "inputs/depth_label", "beta": 0.5,
-                     "discretize": discretize_cfg(num_depth_bins)},
+                     "discretize": discretize_cfg(num_depth_bins, depth_max)},
                     {"name": "SmoothL1", "weight": 3.0, "beta": 0.2,
                      "pred_key": "outputs/elevation_preds",
                      "lab_key": "inputs/elevation_label",
@@ -285,6 +287,7 @@ def tiny_kwargs() -> dict:
         depth_embed_dim=32,
         fdn_embed_dim=16,
         num_depth_bins=16,
+        depth_max=3200,
     )
 
 

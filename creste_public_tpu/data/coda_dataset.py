@@ -1,0 +1,243 @@
+"""UT CODa on-disk dataset reader.
+
+Parity target: CodaPEFreeDataset (creste/datasets/codapefree_dataloader.py:32,
+__getitem__:459-523) — produces the same per-sample tensor dict as
+data/synthetic.py (the framework-wide contract), read from the CODa layout
+(README.md:78-108):
+
+  image                [V, H, W, 4]  RGB/255 + depth-mm channel
+  depth_label          [S, H, W]     dense depth mm (0 = invalid)
+  fimg_label           [V, hs, ws, D] DINOv2 distillation features
+  p2p                  [V, 4, 4]     pixel->LiDAR at feature ds
+  fov_mask             [g, g]        trapezoidal camera FOV on the BEV grid
+  3d_sam_label         [g, g]        static SAM instance ids (uint16 npy)
+  3d_sam_dynamic_label [g, g, 3]     (instance, class, occupancy)
+  elevation_label      [g, g, 2]     (min, max) elevation bins
+  traversability_label [T, 3, 3]     expert SE(2) chain on the BEV grid
+  counterfactuals_label {trajectories [N,T,2], rank [N], valid [N]}
+
+TPU-first host design: all decode work is NumPy/PIL on the host (the device
+path starts at the collated batch); ragged counterfactual pickles are padded
+to static [N_max, T, 2] with validity masks (replacing the reference's
+python-list collate, codapefree_dataloader.py:251-275).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from functools import lru_cache
+from typing import Any
+
+import numpy as np
+
+from creste_public_tpu.data import coda_constants as cc
+from creste_public_tpu.data.calib import load_calibration, load_poses
+from creste_public_tpu.utils import geometry as geo
+
+
+def read_split(root: str, split: str) -> list[tuple[str, int]]:
+    """splits/{split}.txt rows of '<seq> <frame>'."""
+    path = os.path.join(root, cc.SPLITS_DIR, f"{split}.txt")
+    out = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                out.append((parts[0], int(parts[1])))
+    return out
+
+
+def remap_contiguous(labels: np.ndarray, ignore: int = 0) -> np.ndarray:
+    """Compact instance ids to 0..K keeping ``ignore`` fixed
+    (codapefree_dataloader.py:627-648 behaviour)."""
+    uniq = np.unique(labels)
+    uniq = uniq[uniq != ignore]
+    out = np.zeros_like(labels, dtype=np.int32)
+    for new, old in enumerate(uniq, start=1):
+        out[labels == old] = new
+    return out
+
+
+class CodaDataset:
+    """Reads the CODa directory layout; one sample per (seq, frame)."""
+
+    def __init__(self, cfg: Any, split: str = "train"):
+        self.root = cfg["root"]
+        self.cam = cfg.get("cam", cc.DEFAULT_CAM)
+        self.views = int(cfg.get("views", 1))
+        self.ds = int(cfg.get("ds", 4))
+        self.grid = int(cfg.get("grid", 256))
+        self.map_range = float(cfg.get("map_range", 12.8))
+        self.voxel = 2 * self.map_range / self.grid
+        self.horizon = int(cfg.get("horizon", 50))
+        self.traverse_step = int(cfg.get("traverse_step", 1))
+        self.n_cf = int(cfg.get("n_counterfactuals", 6))
+        self.depth_dir = cfg.get("depth_dir", "depth_5_LA_all")
+        self.gt_depth_dir = cfg.get("gt_depth_dir", self.depth_dir)
+        self.distill_dir = cfg.get("distill_dir", cc.DISTILLATION_LABEL_DIR)
+        self.image_size = cfg.get("image_size", None)  # (H, W) or None
+        self.infos = read_split(self.root, cfg.get(f"{split}_split", split))
+        fov = geo.create_trapezoidal_fov_mask(self.grid, self.grid, 70, 70, 0, 100)
+        self.fov_mask = fov
+
+    def __len__(self) -> int:
+        return len(self.infos)
+
+    # -- per-sequence caches -------------------------------------------------
+    @lru_cache(maxsize=64)
+    def _calib(self, seq: str):
+        return load_calibration(self.root, seq, self.cam)
+
+    @lru_cache(maxsize=16)
+    def _poses(self, seq: str) -> np.ndarray:
+        return load_poses(self.root, seq)
+
+    # -- frame loaders -------------------------------------------------------
+    def _image(self, seq: str, frame: int) -> np.ndarray:
+        from PIL import Image
+
+        path = cc.frame_path(self.root, cc.CAMERA_DIR, self.cam, seq, frame, "jpg")
+        img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+        return img
+
+    def _depth_png(self, dirname: str, seq: str, frame: int) -> np.ndarray:
+        from PIL import Image
+
+        path = os.path.join(
+            self.root, dirname, self.cam, str(seq), f"{frame}.png"
+        )
+        if not os.path.exists(path):
+            path = cc.frame_path(
+                self.root, dirname, self.cam, seq, frame, "png"
+            )
+        return np.asarray(Image.open(path), np.float32)  # mm
+
+    def _fimg(self, seq: str, frame: int) -> np.ndarray:
+        path = os.path.join(
+            self.root, self.distill_dir, self.cam, str(seq), f"{frame}.npy"
+        )
+        return np.load(path).astype(np.float32)  # [hs, ws, D] or [D, hs, ws]
+
+    def _bev_npy(self, dirname: str, seq: str, frame: int) -> np.ndarray:
+        path = os.path.join(self.root, dirname, str(seq), f"{frame}.npy")
+        if not os.path.exists(path):
+            path = os.path.join(
+                self.root, dirname, str(seq),
+                cc.frame_filename(dirname, "", seq, frame, "npy"),
+            )
+        return np.load(path)
+
+    def _traversability(self, seq: str, frame: int) -> np.ndarray:
+        """Pose chain -> SE(2) poses on the BEV grid
+        (codapefree_dataloader.py:579-615)."""
+        poses = self._poses(seq)
+        T = self.horizon
+        ids = np.clip(
+            frame + np.arange(T) * self.traverse_step, 0, len(poses) - 1
+        )
+        chain = poses[ids]  # [T, 4, 4] world poses
+        rel = np.linalg.inv(chain[0]) @ chain  # ego-relative
+        bev = np.tile(np.eye(3, dtype=np.float32), (T, 1, 1))
+        bev[:, :2, :2] = rel[:, :2, :2]
+        bev[:, :2, 2] = rel[:, :2, 3] / self.voxel
+        t_l2b = np.array(
+            [[-1, 0, self.grid // 2], [0, -1, self.grid // 2], [0, 0, 1]],
+            np.float32,
+        )
+        out = t_l2b @ bev
+        out[:, :2, 2] = np.clip(out[:, :2, 2], 0, self.grid)
+        return out
+
+    def _counterfactuals(self, seq: str, frame: int) -> dict[str, np.ndarray]:
+        path = os.path.join(
+            self.root, cc.COUNTERFACTUAL_LABEL_DIR, str(seq), f"{frame}.pkl"
+        )
+        traj = np.zeros((self.n_cf, self.horizon, 2), np.float32)
+        rank = np.zeros((self.n_cf,), np.int32)
+        valid = np.zeros((self.n_cf,), bool)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                raw = pickle.load(f)
+            trajs = raw.get("trajectories", [])
+            ranks = raw.get("rank", list(range(len(trajs))))
+            for i, (t, r) in enumerate(zip(trajs, ranks)):
+                if i >= self.n_cf:
+                    break
+                t = np.asarray(t, np.float32)[: self.horizon]
+                traj[i, : len(t)] = t[:, :2]
+                if len(t) < self.horizon and len(t) > 0:
+                    traj[i, len(t):] = t[-1, :2]
+                rank[i] = int(r)
+                valid[i] = True
+        return {"trajectories": traj, "rank": rank, "valid": valid}
+
+    # -- sample --------------------------------------------------------------
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        seq, frame = self.infos[idx]
+        rgb = self._image(seq, frame)
+        depth = self._depth_png(self.depth_dir, seq, frame)
+        if self.image_size is not None and rgb.shape[:2] != tuple(self.image_size):
+            from PIL import Image
+
+            h, w = self.image_size
+            rgb = np.asarray(
+                Image.fromarray((rgb * 255).astype(np.uint8)).resize(
+                    (w, h), Image.BILINEAR
+                ),
+                np.float32,
+            ) / 255.0
+            depth = np.asarray(
+                Image.fromarray(depth).resize((w, h), Image.NEAREST), np.float32
+            )
+        rgbd = np.concatenate([rgb, depth[..., None]], axis=-1)
+
+        gt_depth = (
+            depth
+            if self.gt_depth_dir == self.depth_dir
+            else self._depth_png(self.gt_depth_dir, seq, frame)
+        )
+
+        fimg = self._fimg(seq, frame)
+        if fimg.ndim == 3 and fimg.shape[0] < fimg.shape[-1]:
+            fimg = np.moveaxis(fimg, 0, -1)  # CHW -> HWC
+
+        calib = self._calib(seq)
+        p2p = calib.pixel_to_point(ds=self.ds)
+
+        sample = {
+            "image": rgbd[None].astype(np.float32),
+            "depth_label": gt_depth[None].astype(np.float32),
+            "fimg_label": fimg[None],
+            "p2p": p2p[None],
+            "fov_mask": self.fov_mask.copy(),
+        }
+
+        sam = self._try(lambda: self._bev_npy(cc.SAM_LABEL_DIR, seq, frame))
+        if sam is not None:
+            sample["3d_sam_label"] = remap_contiguous(
+                sam.astype(np.int32)
+            )
+        dyn = self._try(
+            lambda: self._bev_npy(cc.SAM_DYNAMIC_LABEL_DIR, seq, frame)
+        )
+        if dyn is not None:
+            sample["3d_sam_dynamic_label"] = dyn.astype(np.float32)
+        elev = self._try(
+            lambda: self._bev_npy(cc.ELEVATION_LABEL_DIR, seq, frame)
+        )
+        if elev is not None:
+            if elev.ndim == 3 and elev.shape[0] in (2, 3):
+                elev = np.moveaxis(elev, 0, -1)
+            sample["elevation_label"] = elev[..., :2].astype(np.float32)
+        trav = self._try(lambda: self._traversability(seq, frame))
+        if trav is not None:
+            sample["traversability_label"] = trav
+            sample["counterfactuals_label"] = self._counterfactuals(seq, frame)
+        return sample
+
+    @staticmethod
+    def _try(fn):
+        try:
+            return fn()
+        except (FileNotFoundError, OSError):
+            return None

@@ -152,8 +152,11 @@ def multi_pos_con_loss(
       class_weights: optional [C] weights indexed by raw label id.
       axis_name: data-parallel axis to all_gather over (None = single device).
     """
-    feats = feats / (
-        jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12
+    # rsqrt(sumsq + eps) instead of /(norm + eps): d|x| at x=0 is NaN and
+    # would poison grads whenever a feature vector is exactly zero (e.g.
+    # empty BEV cells early in training).
+    feats = feats * jax.lax.rsqrt(
+        jnp.sum(feats * feats, axis=-1, keepdims=True) + 1e-12
     )
     M = feats.shape[0]
 

@@ -1,0 +1,58 @@
+"""Metric logging: JSONL + stdout + optional TensorBoard.
+
+Replaces the reference's dual TensorBoard/W&B Lightning loggers
+(train_pefree.py:255-268, train_ssc.py:323-332) with a dependency-light
+JSONL stream (the canonical record) plus a best-effort TensorBoard writer
+(torch.utils.tensorboard is available since torch-cpu is in the image;
+silently disabled otherwise). Hierarchical metric names follow the
+reference's `{split}/{LossName}/{task}/...` convention.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+
+class MetricLogger:
+    def __init__(self, jsonl_path: str | None = None, stdout: bool = True,
+                 tensorboard_dir: str | None = None):
+        self.stdout = stdout
+        self.jsonl_path = jsonl_path
+        if jsonl_path:
+            os.makedirs(os.path.dirname(os.path.abspath(jsonl_path)),
+                        exist_ok=True)
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(tensorboard_dir)
+            except Exception:
+                self._tb = None
+
+    def log(self, metrics: dict[str, Any]) -> None:
+        if self.jsonl_path:
+            with open(self.jsonl_path, "a") as f:
+                f.write(json.dumps(metrics, default=float) + "\n")
+        if self.stdout:
+            step = metrics.get("step", "?")
+            keys = [
+                f"{k}={v:.4g}" for k, v in metrics.items()
+                if isinstance(v, (int, float)) and k not in ("step", "epoch")
+            ][:8]
+            print(f"[step {step}] " + " ".join(keys), flush=True)
+        if self._tb is not None:
+            step = int(metrics.get("step", 0))
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)) and k not in ("step",):
+                    self._tb.add_scalar(k, v, step)
+
+    def log_image(self, tag: str, image, step: int = 0) -> None:
+        """HWC uint8/float image to TensorBoard (tb_utils.py:114 analog)."""
+        if self._tb is not None:
+            self._tb.add_image(tag, image, step, dataformats="HWC")
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
