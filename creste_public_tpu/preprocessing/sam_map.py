@@ -1,0 +1,208 @@
+"""BEV SAM instance-map construction (static + dynamic labels).
+
+Parity targets: scripts/preprocessing/build_sam_map.py —
+  * static path (:906, loop 736-783): per-frame image instance labels are
+    lifted to the BEV grid through the depth horizon, then merged across
+    the temporal horizon by greedy label-overlap mapping
+    (`compute_label_mapping`:158, `merge_maps`:233): each new-frame label
+    adopts the accumulated label it overlaps most, otherwise gets a fresh
+    id.
+  * dynamic path (:635, `cluster_xyz_labels`:413-588): ground-plane removal,
+    multi-eps DBSCAN ensemble over the LiDAR points (reference: cuml on
+    GPU -> sklearn here; same algorithm), clusters matched to image
+    instances by majority projected label -> 3-channel map
+    (instance, class, occupancy).
+
+Host-side NumPy/sklearn: this is offline label generation; the per-cell
+majority scatter is the only hot op and is vectorised.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+Array = np.ndarray
+
+
+def bev_cell_ids(
+    points: Array, grid: int, map_range: float
+) -> tuple[Array, Array]:
+    """LiDAR xy -> linearised BEV cell ids + in-range mask."""
+    voxel = 2 * map_range / grid
+    row = np.floor((points[:, 0] + map_range) / voxel).astype(np.int64)
+    col = np.floor((points[:, 1] + map_range) / voxel).astype(np.int64)
+    ok = (row >= 0) & (row < grid) & (col >= 0) & (col < grid)
+    return row * grid + col, ok
+
+
+def majority_label_map(
+    points: Array, labels: Array, grid: int, map_range: float,
+    ignore: int = 0,
+) -> Array:
+    """[N,3] points + [N] int labels -> [grid, grid] majority-vote label map
+    (0 = empty/ignore)."""
+    cell, ok = bev_cell_ids(points, grid, map_range)
+    ok = ok & (labels != ignore)
+    if not ok.any():
+        return np.zeros((grid, grid), np.int32)
+    cell, labels = cell[ok], labels[ok]
+    # majority by counting (cell, label) pairs
+    key = cell * (labels.max() + 1) + labels
+    uniq, counts = np.unique(key, return_counts=True)
+    u_cell = uniq // (labels.max() + 1)
+    u_label = uniq % (labels.max() + 1)
+    order = np.argsort(counts)  # ascending: later writes win -> max count
+    out = np.zeros((grid * grid,), np.int32)
+    out[u_cell[order]] = u_label[order]
+    return out.reshape(grid, grid)
+
+
+def label_overlap_mapping(
+    anchor: Array, new: Array, ignore: int = 0
+) -> dict[int, int]:
+    """For each label in ``new``, the anchor label it overlaps most
+    (build_sam_map.py:158-204). Labels with zero overlap are absent."""
+    mask = (anchor != ignore) & (new != ignore)
+    if not mask.any():
+        return {}
+    pairs = np.stack([new[mask], anchor[mask]], axis=1)
+    uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+    mapping: dict[int, int] = {}
+    best: dict[int, int] = {}
+    for (nl, al), c in zip(uniq, counts):
+        if c > best.get(int(nl), 0):
+            best[int(nl)] = int(c)
+            mapping[int(nl)] = int(al)
+    return mapping
+
+
+def merge_instance_maps(
+    anchor: Array, new: Array, next_label: int, ignore: int = 0
+) -> tuple[Array, int]:
+    """Merge ``new`` into ``anchor``: overlapping labels adopt the anchor
+    id, novel labels get fresh ids from ``next_label`` upward; anchor
+    pixels win on conflict (build_sam_map.py:233-310 semantics)."""
+    mapping = label_overlap_mapping(anchor, new, ignore)
+    out = anchor.copy()
+    remapped = np.zeros_like(new)
+    for label in np.unique(new):
+        if label == ignore:
+            continue
+        if int(label) in mapping:
+            remapped[new == label] = mapping[int(label)]
+        else:
+            remapped[new == label] = next_label
+            next_label += 1
+    fill = (out == ignore) & (remapped != ignore)
+    out[fill] = remapped[fill]
+    return out, next_label
+
+
+def accumulate_instance_maps(maps: list[Array], ignore: int = 0) -> Array:
+    """Temporal greedy merge over a frame horizon (loop at
+    build_sam_map.py:736-783)."""
+    if not maps:
+        raise ValueError("no maps")
+    out = maps[0].astype(np.int32).copy()
+    next_label = int(out.max()) + 1
+    for m in maps[1:]:
+        out, next_label = merge_instance_maps(
+            out, m.astype(np.int32), next_label, ignore
+        )
+    return out
+
+
+def remove_ground_plane(
+    points: Array, z_threshold: float = 0.15, iterations: int = 50,
+    seed: int = 0,
+) -> Array:
+    """RANSAC plane removal (open3d equivalent, build_sam_map.py:330):
+    returns a boolean mask of NON-ground points."""
+    rng = np.random.default_rng(seed)
+    n = len(points)
+    if n < 10:
+        return np.ones((n,), bool)
+    best_inliers = np.zeros((n,), bool)
+    for _ in range(iterations):
+        idx = rng.choice(n, 3, replace=False)
+        p0, p1, p2 = points[idx, :3]
+        normal = np.cross(p1 - p0, p2 - p0)
+        nn = np.linalg.norm(normal)
+        if nn < 1e-9:
+            continue
+        normal = normal / nn
+        if abs(normal[2]) < 0.8:  # require near-horizontal plane
+            continue
+        dist = np.abs((points[:, :3] - p0) @ normal)
+        inliers = dist < z_threshold
+        if inliers.sum() > best_inliers.sum():
+            best_inliers = inliers
+    return ~best_inliers
+
+
+def dbscan_ensemble(
+    points: Array, eps_list=(0.1, 0.2, 0.3), min_samples: int = 5
+) -> Array:
+    """Multi-eps DBSCAN ensemble (build_sam_map.py:413-588, cuml -> sklearn):
+    clusters from the finest eps, points noise at a finer eps adopt the
+    label of the next coarser clustering (offset to stay unique).
+    Returns [N] cluster ids, 0 = noise."""
+    from sklearn.cluster import DBSCAN
+
+    n = len(points)
+    out = np.zeros((n,), np.int64)
+    offset = 1
+    unassigned = np.ones((n,), bool)
+    for eps in eps_list:
+        if not unassigned.any():
+            break
+        sub = np.nonzero(unassigned)[0]
+        labels = DBSCAN(eps=eps, min_samples=min_samples).fit_predict(
+            points[sub, :3]
+        )
+        got = labels >= 0
+        out[sub[got]] = labels[got] + offset
+        if got.any():
+            offset = int(out.max()) + 1
+        unassigned[sub[got]] = False
+    return out
+
+
+def match_clusters_to_instances(
+    cluster_ids: Array, point_instance: Array, ignore: int = 0
+) -> Array:
+    """Assign each 3-D cluster the image-instance id its points vote for
+    (IoU-majority matching, build_sam_map.py:413-588)."""
+    out = np.zeros_like(point_instance)
+    for cid in np.unique(cluster_ids):
+        if cid == 0:
+            continue
+        members = cluster_ids == cid
+        votes = point_instance[members]
+        votes = votes[votes != ignore]
+        if len(votes) == 0:
+            continue
+        vals, counts = np.unique(votes, return_counts=True)
+        out[members] = vals[np.argmax(counts)]
+    return out
+
+
+def dynamic_sam_map(
+    points: Array,
+    point_instance: Array,
+    point_class: Array,
+    grid: int,
+    map_range: float,
+    eps_list=(0.1, 0.2, 0.3),
+) -> Array:
+    """Full dynamic-label pipeline -> [grid, grid, 3]
+    (instance, class, occupancy) (build_sam_map.py:635-712)."""
+    keep = remove_ground_plane(points)
+    pts = points[keep]
+    inst = point_instance[keep]
+    cls = point_class[keep]
+    clusters = dbscan_ensemble(pts, eps_list)
+    inst_clean = match_clusters_to_instances(clusters, inst)
+    inst_map = majority_label_map(pts, inst_clean, grid, map_range)
+    cls_map = majority_label_map(pts, cls, grid, map_range)
+    occ = (inst_map > 0).astype(np.int32)
+    return np.stack([inst_map, cls_map, occ], axis=-1)
