@@ -496,6 +496,100 @@ class TREXLoss(Loss):
         return {"trex_loss": loss}, {}
 
 
+class BalancedContrastiveLoss(Loss):
+    """ℓ_spread balanced supcon over sampled BEV pixels —
+    loss_utils.py:94-200 -> balancedsupcon.bal_contrastive_loss."""
+
+    def loss(self, td, aux):
+        from creste_public_tpu.losses.balancedsupcon import bal_contrastive_loss
+
+        preds = td[self.config["pred_key"]]  # [BV, H, W, Z]
+        gt = td[self.config["lab_key"]]
+        fov = td[self.config.get("mask_key", "inputs/fov_mask")]
+        views = int(self.config.get("views", 1))
+        max_samples = int(self.config.get("max_samples", 1024))
+        ignore = int(self.config.get("ignore_index", 0))
+
+        label = gt[..., 0] if gt.ndim == 4 else gt
+        label = label.astype(jnp.int32)
+        BV = preds.shape[0]
+        B = BV // views
+        H, W, Z = preds.shape[1:]
+        preds = preds.reshape(B, views, H, W, Z)
+        label0 = label.reshape(B, -1)[:, : H * W].reshape(B, H, W) \
+            if label.shape[0] == B else label[:B]
+        fov0 = fov if fov.shape[0] == B else fov[:B]
+        valid = (label0 != ignore) & fov0.astype(bool)
+
+        rng = aux.get("rng", None)
+        idx, sel_valid = capped_class_sample(
+            label0.reshape(-1), valid.reshape(-1), max_samples,
+            cap=int(self.config.get("cap", 1000)), rng=rng,
+        )
+        flat = preds.transpose(0, 2, 3, 1, 4).reshape(-1, views, Z)
+        feats = flat[idx]
+        feats = feats * jax.lax.rsqrt(
+            jnp.sum(feats * feats, -1, keepdims=True) + 1e-12
+        )
+        labels = label0.reshape(-1)[idx]
+        loss = bal_contrastive_loss(
+            feats, labels,
+            temperature=float(self.config.get("temperature", 0.5)),
+            a_lc=float(self.config.get("a_lc", 1.0)),
+            a_spread=float(self.config.get("a_spread", 1.0)),
+            loss_type=self.config.get("type", "l_spread"),
+            valid=sel_valid,
+        )
+        return {"balcon_loss": loss}, {}
+
+
+class VicregLoss(Loss):
+    """VICReg invariance/variance/covariance over anchor-vs-multiview BEV
+    features — loss_utils.py:737-969 (fixed-budget sampling redesign)."""
+
+    def loss(self, td, aux):
+        anchor = td[self.config["pred_key"]]  # [B, H, W, Z]
+        mv = td[self.config["pred_mv_key"]]
+        fov = td[self.config.get("fov_key", "inputs/fov_mask")]
+        sim_c = float(self.config.get("sim_coeff", 1.0))
+        std_c = float(self.config.get("std_coeff", 1.0))
+        cov_c = float(self.config.get("cov_coeff", 1.0))
+
+        B, H, W, Z = anchor.shape
+        mask = fov.astype(jnp.float32)
+        if mask.shape[-2:] != (H, W):
+            mask = jax.image.resize(mask, (B, H, W), "nearest")
+        m = mask[..., None]
+        n = jnp.maximum(m.sum(), 1.0)
+
+        # invariance: masked MSE between anchor and aggregated views
+        sim = jnp.sum(((anchor - mv) ** 2) * m) / (n * Z)
+
+        def std_cov(x):
+            xm = x.reshape(B * H * W, Z)
+            w = m.reshape(B * H * W, 1)
+            mean = jnp.sum(xm * w, 0) / n
+            xc = (xm - mean) * w
+            var = jnp.sum(xc * xc, 0) / jnp.maximum(n - 1, 1.0)
+            std_loss = jnp.mean(jnp.maximum(0.0, 1.0 - jnp.sqrt(var + 1e-4)))
+            cov = (xc.T @ xc) / jnp.maximum(n - 1, 1.0)
+            off = cov - jnp.diag(jnp.diag(cov))
+            cov_loss = jnp.sum(off**2) / Z
+            return std_loss, cov_loss
+
+        std_a, cov_a = std_cov(anchor)
+        std_b, cov_b = std_cov(mv)
+        loss = (
+            sim_c * sim
+            + std_c * 0.5 * (std_a + std_b)
+            + cov_c * 0.5 * (cov_a + cov_b)
+        )
+        return {"vicreg_loss": loss}, {
+            "vicreg/sim": sim, "vicreg/std": 0.5 * (std_a + std_b),
+            "vicreg/cov": 0.5 * (cov_a + cov_b),
+        }
+
+
 _REGISTRY: dict[str, type[Loss]] = {
     "CrossEntropyDepth": CrossEntropyDepth,
     "SmoothL1Depth": SmoothL1Depth,
@@ -508,6 +602,8 @@ _REGISTRY: dict[str, type[Loss]] = {
     "MaxEntIRLLoss": MaxEntIRLLoss,
     "BCActionLoss": BCActionLoss,
     "TREXLoss": TREXLoss,
+    "BalancedContrastiveLoss": BalancedContrastiveLoss,
+    "VicregLoss": VicregLoss,
 }
 
 

@@ -1,0 +1,108 @@
+"""AOT export of the CREStE inference graph (torch.jit.trace equivalent).
+
+Parity target: scripts/runtime/compile.py:160-210 — build MaxEntIRL with
+solve_mdp=False (reward-only deployment graph, :170-172), trace on a sample
+(rgbd, p2p) pair, dry-run, save the artifact for the native runtime.
+
+TPU-first: `jax.export.export` serialises the jitted StableHLO module with
+its calling convention; the artifact is runtime-portable (PJRT C++ host,
+python reload via `jax.export.deserialize`). `InferenceEngine` wraps the
+jitted fn with donated buffers for steady-state serving at the >=100 Hz
+north star.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_inference_fn(cfg: Any, variables: Any) -> tuple[Callable, Any]:
+    """Returns (fn(variables, rgbd, p2p) -> outputs, jitted fn)."""
+    from creste_public_tpu.models.lfd import MaxEntIRL
+
+    cfg = dict(cfg.to_dict() if hasattr(cfg, "to_dict") else cfg)
+    cfg["solve_mdp"] = False  # deployment graph: no value iteration
+    model = MaxEntIRL(cfg)
+
+    def fn(variables, rgbd, p2p):
+        return model.apply(variables, rgbd, p2p, train=False)
+
+    return fn, jax.jit(fn)
+
+
+def export_inference_graph(
+    fn: Callable,
+    variables: Any,
+    rgbd: Any,
+    p2p: Any,
+    out_path: str | None = None,
+):
+    """Serialise the jitted graph to StableHLO bytes (jax.export)."""
+    from jax import export as jexport
+
+    args = (variables, jnp.asarray(rgbd), jnp.asarray(p2p))
+    exported = jexport.export(jax.jit(fn))(
+        *jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+            if not isinstance(x, jax.ShapeDtypeStruct)
+            else x,
+            args,
+        )
+    )
+    blob = exported.serialize()
+    if out_path:
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        with open(out_path, "wb") as f:
+            f.write(blob)
+    return exported, blob
+
+
+def load_exported(path_or_bytes):
+    from jax import export as jexport
+
+    blob = path_or_bytes
+    if isinstance(path_or_bytes, str):
+        with open(path_or_bytes, "rb") as f:
+            blob = f.read()
+    return jexport.deserialize(blob)
+
+
+class InferenceEngine:
+    """Steady-state serving wrapper: compile once, then `step(rgbd, p2p)`.
+
+    The variables live on device permanently; per-call H2D transfer is just
+    the frame. `warmup()` triggers compilation; `latency_stats()` measures
+    the p50/p95 single-frame latency (compile.py:199-206 dry-run analog).
+    """
+
+    def __init__(self, cfg: Any, variables: Any, device=None):
+        self.device = device or jax.devices()[0]
+        self.variables = jax.device_put(variables, self.device)
+        fn, self._jfn = build_inference_fn(cfg, variables)
+        self._fn = fn
+
+    def step(self, rgbd, p2p) -> dict:
+        out = self._jfn(self.variables, jnp.asarray(rgbd), jnp.asarray(p2p))
+        return out
+
+    def warmup(self, rgbd, p2p) -> None:
+        jax.block_until_ready(self.step(rgbd, p2p))
+
+    def latency_stats(self, rgbd, p2p, iters: int = 50) -> dict[str, float]:
+        import time
+
+        self.warmup(rgbd, p2p)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(self.step(rgbd, p2p))
+            times.append(time.perf_counter() - t0)
+        return {
+            "p50_ms": float(np.percentile(times, 50) * 1e3),
+            "p95_ms": float(np.percentile(times, 95) * 1e3),
+            "hz": float(1.0 / np.percentile(times, 50)),
+        }

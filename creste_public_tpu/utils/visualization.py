@@ -1,0 +1,172 @@
+"""Visualization library: BEV labels/policies/poses, depth colorizers,
+feature PCA-RGB.
+
+Parity target: creste/utils/visualization.py (visualize_bev_label:317,
+visualize_bev_poses:986, visualize_bev_policy:1025, depth colorizers
+:113-198, DINO PCA-RGB :1176). Pure NumPy + matplotlib colormaps (no cv2
+dependency); every function returns an HWC uint8 image suitable for
+MetricLogger.log_image / PNG writing.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+Array = np.ndarray
+
+# 8-connected action deltas, matching ops.value_iteration.DYNAMICS order
+_ACTIONS = np.array(
+    [[-1, -1], [-1, 0], [-1, 1], [0, -1], [0, 1], [1, -1], [1, 0], [1, 1]]
+)
+
+
+def _colormap(name: str, n: int = 256) -> np.ndarray:
+    import matplotlib.cm as cm
+
+    return (cm.get_cmap(name)(np.linspace(0, 1, n))[:, :3] * 255).astype(
+        np.uint8
+    )
+
+
+def instance_cmap(n: int, seed: int = 0) -> np.ndarray:
+    """Stable random colors per instance id; id 0 is black."""
+    rng = np.random.default_rng(seed)
+    cmap = rng.integers(40, 255, (max(n, 1), 3)).astype(np.uint8)
+    cmap[0] = 0
+    return cmap
+
+
+def colorize_depth(
+    depth_m: Array, max_depth: float = 25.6, cmap: str = "turbo"
+) -> Array:
+    """[H, W] metres -> uint8 RGB; invalid (0) pixels black
+    (visualization.py:113-198)."""
+    lut = _colormap(cmap)
+    idx = np.clip(depth_m / max_depth * 255, 0, 255).astype(np.uint8)
+    img = lut[idx]
+    img[depth_m <= 0] = 0
+    return img
+
+
+def colorize_scalar(
+    x: Array, vmin: float | None = None, vmax: float | None = None,
+    cmap: str = "viridis",
+) -> Array:
+    """Generic [H, W] scalar map -> uint8 RGB (reward/value/SVF renders)."""
+    finite = np.isfinite(x)
+    vmin = float(np.min(x[finite])) if vmin is None and finite.any() else (vmin or 0.0)
+    vmax = float(np.max(x[finite])) if vmax is None and finite.any() else (vmax or 1.0)
+    t = np.clip((x - vmin) / max(vmax - vmin, 1e-9), 0, 1)
+    img = _colormap(cmap)[np.clip((t * 255), 0, 255).astype(np.uint8)]
+    img[~finite] = 0
+    return img
+
+
+def visualize_bev_label(
+    label: Array, kind: str = "instance", num_classes: int | None = None
+) -> Array:
+    """BEV label map -> RGB (visualize_bev_label:317 dispatcher).
+
+    kind: 'instance' (random per-id colors), 'semantic' (tab20 classes),
+    'elevation' (2-ch min/max -> red/green ramp).
+    """
+    if kind == "elevation":
+        lo = colorize_scalar(label[..., 0], cmap="viridis")
+        hi = colorize_scalar(label[..., 1], cmap="magma")
+        return np.concatenate([lo, hi], axis=1)
+    label = np.asarray(label)
+    if label.ndim == 3:
+        label = label[..., 0]
+    label = label.astype(np.int64)
+    n = int(label.max()) + 1 if num_classes is None else num_classes
+    if kind == "semantic":
+        base = _colormap("tab20", 20)
+        cmap = base[np.arange(max(n, 1)) % 20]
+        cmap[0] = 0
+    else:
+        cmap = instance_cmap(n)
+    return cmap[np.clip(label, 0, len(cmap) - 1)]
+
+
+def overlay_trajectory(
+    img: Array, traj_rc: Array, color=(255, 40, 40), radius: int = 1
+) -> Array:
+    """Draw (row, col) waypoints onto an RGB image
+    (visualize_bev_poses:986)."""
+    out = img.copy()
+    H, W = out.shape[:2]
+    for r, c in np.asarray(traj_rc).reshape(-1, 2):
+        r, c = int(round(r)), int(round(c))
+        r0, r1 = max(r - radius, 0), min(r + radius + 1, H)
+        c0, c1 = max(c - radius, 0), min(c + radius + 1, W)
+        if r0 < r1 and c0 < c1:
+            out[r0:r1, c0:c1] = color
+    return out
+
+
+def visualize_bev_poses(
+    bev_rgb: Array, poses: Array, color=(255, 40, 40)
+) -> Array:
+    """SE(2) pose chain [T, 3, 3] drawn on a BEV render."""
+    traj = poses[:, :2, 2]
+    return overlay_trajectory(bev_rgb, traj, color)
+
+
+def visualize_bev_policy(
+    policy: Array, stride: int = 4
+) -> Array:
+    """[H, W, A] softmax policy -> RGB with argmax-action arrows rendered
+    as directional strokes (visualize_bev_policy:1025)."""
+    H, W, A = policy.shape
+    conf = policy.max(-1)
+    img = colorize_scalar(conf, 0, 1, cmap="viridis")
+    act = policy.argmax(-1)
+    for r in range(0, H, stride):
+        for c in range(0, W, stride):
+            dr, dc = _ACTIONS[act[r, c]]
+            for s in range(stride // 2):
+                rr, cc = r + dr * s, c + dc * s
+                if 0 <= rr < H and 0 <= cc < W:
+                    img[rr, cc] = (255, 255, 255)
+    return img
+
+
+def visualize_reward(reward: Array, fov_mask: Array | None = None) -> Array:
+    img = colorize_scalar(reward, cmap="inferno")
+    if fov_mask is not None:
+        img[~fov_mask.astype(bool)] //= 4
+    return img
+
+
+def features_to_rgb(feats: Array) -> Array:
+    """[H, W, D] features -> PCA-RGB uint8 (visualization.py:1176)."""
+    H, W, D = feats.shape
+    flat = feats.reshape(-1, D)
+    flat = flat - flat.mean(0)
+    # top-3 principal directions
+    _, _, vt = np.linalg.svd(flat, full_matrices=False)
+    rgb = flat @ vt[:3].T
+    lo, hi = rgb.min(0), rgb.max(0)
+    rgb = (rgb - lo) / np.maximum(hi - lo, 1e-8)
+    return (rgb.reshape(H, W, 3) * 255).astype(np.uint8)
+
+
+def side_by_side(*images: Array, pad: int = 2) -> Array:
+    """Horizontally concat images of equal height with a divider."""
+    h = max(im.shape[0] for im in images)
+    parts = []
+    for im in images:
+        if im.ndim == 2:
+            im = np.stack([im] * 3, -1)
+        if im.shape[0] != h:
+            reps = np.zeros((h, im.shape[1], 3), im.dtype)
+            reps[: im.shape[0]] = im
+            im = reps
+        parts.append(im)
+        parts.append(np.full((h, pad, 3), 255, im.dtype))
+    return np.concatenate(parts[:-1], axis=1)
+
+
+def save_png(path: str, img: Array) -> None:
+    from PIL import Image
+
+    Image.fromarray(img).save(path)

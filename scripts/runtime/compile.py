@@ -1,0 +1,61 @@
+"""CLI: AOT-export the deployment inference graph (reference:
+scripts/runtime/compile.py -> torch.jit.trace; here -> jax.export StableHLO).
+
+Usage:
+  python scripts/runtime/compile.py --out creste_rgbd_export.bin \
+      [--ckpt ckpts/stage3] [--tiny]
+"""
+import argparse
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="creste_rgbd_export.bin")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--latency", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from creste_public_tpu.utils.platform import ensure_env_platform
+
+    ensure_env_platform()
+
+    from creste_public_tpu.config import presets
+    from creste_public_tpu.runtime.export import (
+        InferenceEngine, build_inference_fn, export_inference_graph,
+    )
+    from creste_public_tpu.models.lfd import MaxEntIRL
+
+    cfg = (presets.tiny_traversability_config() if args.tiny
+           else presets.traversability_model_config())
+    cfg["solve_mdp"] = False
+    h, w = cfg["vision_backbone"]["vision_backbone"]["effnet_cfgs"]["image_size"]
+    rng = np.random.default_rng(0)
+    rgbd = rng.uniform(0, 1, (1, 1, h, w, 4)).astype(np.float32)
+    rgbd[..., 3] *= 20000.0
+    p2p = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1, 1))
+
+    model = MaxEntIRL(cfg.to_dict())
+    variables = model.init({"params": jax.random.PRNGKey(0)}, rgbd, p2p)
+    if args.ckpt:
+        from creste_public_tpu.training.surgery import load_raw_checkpoint
+
+        raw = load_raw_checkpoint(args.ckpt)
+        variables = {"params": raw.get("params", raw),
+                     "batch_stats": raw.get("batch_stats", {})}
+
+    fn, _ = build_inference_fn(cfg, variables)
+    _, blob = export_inference_graph(fn, variables, rgbd, p2p, args.out)
+    print(f"exported {len(blob)/1e6:.2f} MB StableHLO to {args.out}")
+
+    if args.latency:
+        eng = InferenceEngine(cfg, variables)
+        print(eng.latency_stats(rgbd, p2p))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,22 @@
+"""CLI: launch the counterfactual annotation web app (reference:
+scripts/traversability/rlhf/app.py, Flask on :4242)."""
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--port", type=int, default=4242)
+    ap.add_argument("--sampler", choices=["epsilon", "unicycle"],
+                    default="epsilon")
+    ap.add_argument("--num_candidates", type=int, default=6)
+    args = ap.parse_args()
+
+    from creste_public_tpu.annotation.app import serve
+
+    serve(args.root, port=args.port, sampler=args.sampler,
+          num_candidates=args.num_candidates)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Annotation samplers + app backend round-trip (uses the fake CODa tree)."""
+import pickle
+
+import numpy as np
+import pytest
+
+from creste_public_tpu.annotation import control as ctl
+from creste_public_tpu.annotation.app import AnnotationBackend, make_handler
+
+
+def test_unicycle_rollouts_start_at_origin():
+    t = ctl.sample_unicycle_trajectories(5, 20, seed=0)
+    assert t.shape == (5, 20, 3)
+    assert np.allclose(t[:, 0], 0)
+    # moves forward on average (v > 0)
+    assert (t[:, -1, 0] > 0).all()
+
+
+def test_epsilon_trajectories_anchored_and_spread():
+    expert = np.stack([np.linspace(0, 5, 30), np.zeros(30)], axis=1)
+    cands = ctl.sample_epsilon_trajectories(expert, 6, 30, epsilon=2.0, seed=0)
+    assert cands.shape == (6, 30, 3)
+    assert np.allclose(cands[:, 0, :2], expert[0], atol=0.3)
+    d = ctl.hausdorff_distances(
+        np.concatenate([expert[None, :, :], cands[:, :, :2]], 0)[..., None][..., 0, :]
+        if False else
+        np.concatenate(
+            [np.concatenate([expert[None], cands[:, :, :2]], 0),
+             np.zeros((7, 30, 1))], axis=-1)
+    )
+    assert d[0] == 0.0
+    # larger epsilon bands deviate more on average
+    assert d[1:].max() > d[1:].min()
+
+
+def test_metric_bev_roundtrip():
+    xy = np.array([[1.0, -2.0], [0.0, 0.0]])
+    rc = ctl.metric_to_bev(xy, (12.8, 12.8), 0.1)
+    back = ctl.bev_to_metric(rc, (12.8, 12.8), 0.1)
+    assert np.allclose(back, xy)
+    assert np.allclose(rc[1], [128, 128])  # ego at grid centre
+
+
+@pytest.fixture
+def coda_root(tmp_path):
+    """Minimal tree: poses + splits only (annotation needs poses)."""
+    import os
+
+    root = tmp_path / "coda"
+    (root / "poses" / "dense").mkdir(parents=True)
+    rows = []
+    for i in range(80):
+        rows.append([i * 0.1, i * 0.15, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0])
+    np.savetxt(root / "poses" / "dense" / "0.txt", np.asarray(rows))
+    (root / "splits").mkdir()
+    (root / "splits" / "train.txt").write_text("0 0\n")
+    return str(root)
+
+
+def test_backend_load_and_save(coda_root):
+    be = AnnotationBackend(coda_root, grid=64, map_range=3.2, horizon=20,
+                           num_candidates=4)
+    out = be.load("0", 0)
+    assert len(out["trajectories"]) == 5  # expert + 4 candidates
+    assert len(out["distances"]) == 5
+    assert out["distances"][0] == 0.0
+    assert len(out["image"]) > 100  # base64 PNG
+
+    path = be.save({
+        "seq": "0", "frame": 0,
+        "trajectories": out["trajectories"],
+        "rank": [0, 2, 1, 3, 4],
+    })
+    with open(path, "rb") as f:
+        rec = pickle.load(f)
+    assert rec["rank"] == [0, 2, 1, 3, 4]
+    assert len(rec["trajectories"]) == 5
+
+
+def test_http_contract(coda_root):
+    import json
+    import threading
+    import urllib.request
+    from http.server import HTTPServer
+
+    be = AnnotationBackend(coda_root, grid=64, map_range=3.2, horizon=20,
+                           num_candidates=2)
+    server = HTTPServer(("127.0.0.1", 0), make_handler(be))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/load?seq=0&frame=0"
+        ) as r:
+            data = json.loads(r.read())
+        assert "trajectories" in data
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/save",
+            data=json.dumps({
+                "seq": "0", "frame": 0, "rank": [0, 1, 2],
+                "trajectories": data["trajectories"],
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert "saved" in out
+    finally:
+        server.shutdown()

@@ -1,0 +1,153 @@
+"""FoundationBackbone (ViT), MSNet2D stereo, CnnMLP, extra losses."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from creste_public_tpu.losses.balancedsupcon import bal_contrastive_loss
+from creste_public_tpu.models.blocks.cnnmlp import CnnMLP
+from creste_public_tpu.models.blocks.vit import VisionTransformer
+from creste_public_tpu.models.foundation import FoundationBackbone
+from creste_public_tpu.models.stereodepth import MSNet2D, gwc_volume
+
+
+TINY_VIT = {"embed_dim": 32, "depth": 2, "num_heads": 2, "patch_size": 14,
+            "pos_grid": 8}
+
+
+def test_vit_patch_features_shape():
+    model = VisionTransformer(TINY_VIT)
+    x = jnp.zeros((2, 56, 70, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(vars_, x)
+    assert out.shape == (2, 4, 5, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_foundation_backbone():
+    cfg = {
+        "vision_backbone": {
+            "backbone_cfgs": {
+                "input_shape": [56, 70], "output_shape": [16, 20],
+                "vit": TINY_VIT,
+            },
+        },
+        "depth_head": {
+            "dims": [32, 16], "kernels": [3], "paddings": [1],
+            "norm_type": "batch_norm",
+        },
+        "discretize": {"mode": "UD", "num_bins": 16, "depth_min": 300,
+                       "depth_max": 3200},
+    }
+    model = FoundationBackbone(cfg)
+    rgbd = jnp.zeros((1, 1, 64, 80, 4))
+    vars_ = model.init(jax.random.PRNGKey(0), rgbd)
+    out = model.apply(vars_, rgbd)
+    assert out["depth_preds_logits"].shape == (1, 16, 20, 16)
+    assert out["depth_preds_metric"].shape == (1, 16, 20)
+    m = np.asarray(out["depth_preds_metric"])
+    assert m.min() >= 0.3 - 1e-3 and m.max() <= 3.2 + 1e-3
+
+
+def test_gwc_volume_known_shift():
+    # right shifted by 1 px must correlate maximally at disparity 1
+    rng = np.random.default_rng(0)
+    left = rng.normal(size=(1, 4, 16, 8)).astype(np.float32)
+    right = np.roll(left, -1, axis=2)  # target at x-1 matches left at x
+    vol = np.asarray(gwc_volume(jnp.asarray(left), jnp.asarray(right), 4, 1))
+    # average correlation per disparity over valid columns
+    means = [vol[0, :, 4:, d].mean() for d in range(4)]
+    assert np.argmax(means) == 1
+
+
+def test_msnet2d_shapes():
+    cfg = {
+        "cams": 2,
+        "vision_backbone": {
+            "class_name": "DepthCompletion", "name": "efficientnet-b0",
+            "input_type": "rgb", "return_feats": True,
+            "effnet_cfgs": {"in_channels": 3, "out_channels": 32,
+                            "downsample": 4, "image_size": [64, 80]},
+        },
+        "costvolume_trunk": {"squeeze_dim": 16, "num_groups": 1,
+                             "volume_size": 8, "hg_size": 8},
+        "depth_head": {"dims": [8, 16], "kernels": [3], "paddings": [1],
+                       "norm_type": "batch_norm"},
+        "discretize": {"mode": "UD", "num_bins": 16, "depth_min": 300,
+                       "depth_max": 3200},
+    }
+    model = MSNet2D(cfg)
+    x = jnp.zeros((1, 2, 64, 80, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(vars_, x)
+    assert out["depth_preds_logits"].shape == (1, 16, 20, 16)
+    assert out["depth_preds_feats"].shape[0] == 1
+    assert np.isfinite(np.asarray(out["depth_preds_metric"])).all()
+
+
+def test_cnnmlp():
+    cfg = {
+        "input_keys": ["a", "b"],
+        "cnn_cfg": {"net_kwargs": {"dims": [6, 8], "kernels": [3],
+                                   "paddings": [1], "strides": [2],
+                                   "norm_type": "batch_norm"}},
+        "mlp_cfg": {"net_kwargs": {"dims": [8 * 4 * 4, 16, 8]}},
+    }
+    model = CnnMLP(cfg)
+    inputs = {"a": jnp.zeros((2, 8, 8, 2)), "b": jnp.zeros((2, 8, 8, 4))}
+    vars_ = model.init(jax.random.PRNGKey(0), inputs)
+    out = model.apply(vars_, inputs)
+    assert out.shape == (2, 8)
+
+
+def test_bal_contrastive_prefers_aligned():
+    rng = np.random.default_rng(0)
+    labels = jnp.asarray(np.repeat([0, 1, 2], 6))
+    # aligned: same-class features cluster
+    centers = rng.normal(size=(3, 8))
+    aligned = centers[np.asarray(labels)] + 0.05 * rng.normal(size=(18, 8))
+    shuffled = rng.normal(size=(18, 8))
+
+    def norm(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+    la = float(bal_contrastive_loss(
+        jnp.asarray(norm(aligned))[:, None], labels, loss_type="sup_con"
+    ))
+    ls = float(bal_contrastive_loss(
+        jnp.asarray(norm(shuffled))[:, None], labels, loss_type="sup_con"
+    ))
+    assert la < ls
+
+
+def test_bal_contrastive_multiview_finite():
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(6, 3, 8)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    labels = jnp.asarray([0, 0, 1, 1, 2, 2])
+    out = float(bal_contrastive_loss(jnp.asarray(feats), labels))
+    assert np.isfinite(out)
+
+
+def test_vicreg_loss_registered():
+    from creste_public_tpu.losses.manager import LossManager
+
+    cfg = {"loss": [{
+        "name": "VicregLoss", "weight": 1.0,
+        "pred_key": "outputs/bev_features",
+        "pred_mv_key": "outputs/bev_features_mv",
+        "lab_key": "inputs/3d_sam_label",
+    }]}
+    mgr = LossManager(cfg)
+    rng = np.random.default_rng(0)
+    td = {
+        "outputs/bev_features": jnp.asarray(
+            rng.normal(size=(2, 8, 8, 4)).astype(np.float32)),
+        "outputs/bev_features_mv": jnp.asarray(
+            rng.normal(size=(2, 8, 8, 4)).astype(np.float32)),
+        "inputs/fov_mask": jnp.ones((2, 8, 8)),
+    }
+    ld, meta = mgr(td)
+    (w, v), = [ld[k] for k in ld]
+    assert np.isfinite(float(v))
+    assert "VicregLoss/vicreg/sim" in meta
