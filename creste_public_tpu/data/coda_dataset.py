@@ -92,16 +92,19 @@ class CodaDataset:
     def _poses(self, seq: str) -> np.ndarray:
         return load_poses(self.root, seq)
 
-    # -- frame loaders -------------------------------------------------------
+    # -- frame loaders (native C decode when built, PIL otherwise) ----------
     def _image(self, seq: str, frame: int) -> np.ndarray:
-        from PIL import Image
+        from creste_public_tpu.data import native_io
 
         path = cc.frame_path(self.root, cc.CAMERA_DIR, self.cam, seq, frame, "jpg")
-        img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
-        return img
+        if native_io.available():
+            return native_io.decode_jpeg(path).astype(np.float32) / 255.0
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
 
     def _depth_png(self, dirname: str, seq: str, frame: int) -> np.ndarray:
-        from PIL import Image
+        from creste_public_tpu.data import native_io
 
         path = os.path.join(
             self.root, dirname, self.cam, str(seq), f"{frame}.png"
@@ -110,6 +113,10 @@ class CodaDataset:
             path = cc.frame_path(
                 self.root, dirname, self.cam, seq, frame, "png"
             )
+        if native_io.available():
+            return native_io.decode_png16(path).astype(np.float32)  # mm
+        from PIL import Image
+
         return np.asarray(Image.open(path), np.float32)  # mm
 
     def _fimg(self, seq: str, frame: int) -> np.ndarray:
