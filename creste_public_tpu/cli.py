@@ -42,8 +42,14 @@ def train_from_config(cfg: Config) -> Any:
     train_ds = build_dataset(ds_cfg, "train")
     val_ds = build_dataset(ds_cfg, "val")
     batch = int(model_cfg.get("batch_size", 4))
+    transform = None
+    if ds_cfg.get("do_augmentation", False):
+        from creste_public_tpu.data.augment import augment_sample
+
+        transform = augment_sample
     train_loader = EpochLoader(train_ds, batch, shuffle=True,
-                               seed=int(tcfg.get("seed", 0)))
+                               seed=int(tcfg.get("seed", 0)),
+                               transform=transform)
     val_loader = EpochLoader(val_ds, batch, shuffle=False, drop_last=False)
     tcfg["steps_per_epoch"] = max(len(train_loader), 1)
 

@@ -45,7 +45,8 @@ class EpochLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True, prefetch: int = 2,
-                 collate_fn: Callable = collate):
+                 collate_fn: Callable = collate,
+                 transform: Callable | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -53,6 +54,7 @@ class EpochLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.collate = collate_fn
+        self.transform = transform  # (sample, rng) -> sample (augmentation)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -74,7 +76,18 @@ class EpochLoader:
                     if stop.is_set():
                         return
                     idxs = order[i : i + self.batch_size]
-                    q.put(self.collate([self.dataset[int(j)] for j in idxs]))
+                    samples = [self.dataset[int(j)] for j in idxs]
+                    if self.transform is not None:
+                        samples = [
+                            self.transform(
+                                s,
+                                np.random.default_rng(
+                                    (self.seed + epoch) * 1_000_003 + int(j)
+                                ),
+                            )
+                            for s, j in zip(samples, idxs)
+                        ]
+                    q.put(self.collate(samples))
             finally:
                 q.put(None)
 
