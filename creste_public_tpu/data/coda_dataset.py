@@ -47,6 +47,45 @@ def read_split(root: str, split: str) -> list[tuple[str, int]]:
     return out
 
 
+def balanced_infos_resampling(
+    samples: list, distances: np.ndarray, num_bins: int = 20, seed: int = 0
+) -> tuple[list, np.ndarray]:
+    """Resample so trajectory-deviation bins are uniformly represented
+    (codapefree_dataloader.py:295-299 behaviour: rare curvatures repeated)."""
+    distances = np.asarray(distances, float)
+    edges = np.linspace(distances.min(), distances.max() + 1e-9, num_bins + 1)
+    which = np.clip(np.digitize(distances, edges) - 1, 0, num_bins - 1)
+    rng = np.random.default_rng(seed)
+    target = max(1, len(samples) // num_bins)
+    out_s, out_d = [], []
+    for b in range(num_bins):
+        idx = np.nonzero(which == b)[0]
+        if len(idx) == 0:
+            continue
+        picks = rng.choice(idx, target, replace=len(idx) < target)
+        out_s.extend(samples[i] for i in picks)
+        out_d.extend(distances[i] for i in picks)
+    return out_s, np.asarray(out_d)
+
+
+def filter_split(
+    root: str, split: str, samples: list[tuple[str, int]],
+    min_deviation: float = 0.0, resample: bool = False,
+) -> list[tuple[str, int]]:
+    """Apply the distance-based resampling + min-deviation filter when a
+    `{split}_distances.txt` file exists (codapefree_dataloader.py:277-331)."""
+    dist_path = os.path.join(root, cc.SPLITS_DIR, f"{split}_distances.txt")
+    if not os.path.exists(dist_path):
+        return samples
+    distances = np.loadtxt(dist_path, dtype=float).reshape(-1)
+    if len(distances) != len(samples):
+        return samples
+    if resample and split == "train":
+        samples, distances = balanced_infos_resampling(samples, distances)
+    keep = distances >= min_deviation
+    return [s for s, k in zip(samples, keep) if k]
+
+
 def remap_contiguous(labels: np.ndarray, ignore: int = 0) -> np.ndarray:
     """Compact instance ids to 0..K keeping ``ignore`` fixed
     (codapefree_dataloader.py:627-648 behaviour)."""
@@ -76,7 +115,12 @@ class CodaDataset:
         self.gt_depth_dir = cfg.get("gt_depth_dir", self.depth_dir)
         self.distill_dir = cfg.get("distill_dir", cc.DISTILLATION_LABEL_DIR)
         self.image_size = cfg.get("image_size", None)  # (H, W) or None
-        self.infos = read_split(self.root, cfg.get(f"{split}_split", split))
+        self.infos = filter_split(
+            self.root, split,
+            read_split(self.root, cfg.get(f"{split}_split", split)),
+            min_deviation=float(cfg.get("min_deviation", 0.0)),
+            resample=bool(cfg.get("resample_trajectories", False)),
+        )
         fov = geo.create_trapezoidal_fov_mask(self.grid, self.grid, 70, 70, 0, 100)
         self.fov_mask = fov
 
@@ -236,11 +280,37 @@ class CodaDataset:
             if elev.ndim == 3 and elev.shape[0] in (2, 3):
                 elev = np.moveaxis(elev, 0, -1)
             sample["elevation_label"] = elev[..., :2].astype(np.float32)
+        ssc = self._try(lambda: self._load_count_bin(
+            cc.SSC_LABEL_DIR, seq, frame, remap="sem"))
+        if ssc is not None:
+            sample["3d_ssc_label"] = ssc
+        soc = self._try(lambda: self._load_count_bin(
+            cc.SOC_LABEL_DIR, seq, frame, remap="obj"))
+        if soc is not None:
+            sample["3d_soc_label"] = soc
         trav = self._try(lambda: self._traversability(seq, frame))
         if trav is not None:
             sample["traversability_label"] = trav
             sample["counterfactuals_label"] = self._counterfactuals(seq, frame)
         return sample
+
+    def _load_count_bin(
+        self, dirname: str, seq: str, frame: int, remap: str | None = None
+    ) -> np.ndarray:
+        """SSC/SOC per-voxel class-count bins -> [g, g, C_remap] float
+        (codapefree_dataloader.py:656-690)."""
+        from creste_public_tpu.data import taxonomy as T
+
+        path = os.path.join(self.root, dirname, str(seq), f"{frame}.bin")
+        dtype = np.int64 if dirname == cc.SSC_LABEL_DIR else np.uint16
+        raw = np.fromfile(path, dtype=dtype).astype(np.float32)
+        C = raw.size // (self.grid * self.grid)
+        t = raw.reshape(self.grid, self.grid, C)
+        if remap == "sem":
+            t = T.remap_and_sum_channels(t, T.SEM_REMAP)
+        elif remap == "obj":
+            t = T.remap_and_sum_channels(t, T.OBJ_REMAP)
+        return t
 
     @staticmethod
     def _try(fn):

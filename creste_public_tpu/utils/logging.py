@@ -53,6 +53,30 @@ class MetricLogger:
         if self._tb is not None:
             self._tb.add_image(tag, image, step, dataformats="HWC")
 
+    def log_embeddings(self, tag: str, features, labels=None,
+                       label_images=None, step: int = 0) -> None:
+        """Embedding-projector export (tb_utils.py:73-112 analog):
+        features [N, D] (+optional [N] labels / [N, h, w, 3] thumbnails)."""
+        if self._tb is None:
+            return
+        import numpy as np
+
+        metadata = [str(x) for x in labels] if labels is not None else None
+        imgs = None
+        if label_images is not None:
+            import torch
+
+            arr = np.asarray(label_images, np.float32)
+            if arr.max() > 1.0:
+                arr = arr / 255.0
+            imgs = torch.from_numpy(arr).permute(0, 3, 1, 2)
+        import torch
+
+        self._tb.add_embedding(
+            torch.from_numpy(np.asarray(features, np.float32)),
+            metadata=metadata, label_img=imgs, tag=tag, global_step=step,
+        )
+
     def close(self) -> None:
         if self._tb is not None:
             self._tb.close()
