@@ -62,9 +62,9 @@ class TerrainNet(nn.Module):
         assert splat_key in outputs, f"Expected {splat_key} in backbone outputs"
         feats = outputs[splat_key]
         Hs, Ws, Z = feats.shape[-3], feats.shape[-2], feats.shape[-1]
-        n_views = int(cfg.get("views", 1))
-        depth = outputs["depth_preds_metric"].reshape(B, n_views, Hs, Ws)
-        feats = feats.reshape(B, n_views, Hs, Ws, Z)
+        # group by the actual frame count (temporal mode feeds N > views)
+        depth = outputs["depth_preds_metric"].reshape(B, N, Hs, Ws)
+        feats = feats.reshape(B, N, Hs, Ws, Z)
 
         cam2map = Camera2MapMulti(
             cfg["camera_projector"], scatter_mode="mean", name="cam2map"

@@ -109,7 +109,10 @@ def run_training(
     )
     if load_weights is not None:
         state = load_weights(state)
-    step_fn = pipelines.make_train_step(stage, model, lm, tx, mesh, task=task)
+    step_fn = pipelines.make_train_step(
+        stage, model, lm, tx, mesh, task=task,
+        freeze_backbone_schedule=freeze_backbone_epochs > 0,
+    )
     eval_fn = make_eval_step(stage, model, lm, mesh, task=task)
 
     monitor = tcfg.get("monitor_metric", "loss")
@@ -129,6 +132,12 @@ def run_training(
         epoch_metrics = defaultdict(list)
         batches = it if epoch == 0 else iter(factory(epoch))
         for batch in _chain_first(sample if epoch == 0 else None, batches):
+            if freeze_backbone_epochs > 0:
+                bsz = next(iter(batch.values())).shape[0]
+                batch = dict(batch)
+                batch["_backbone_unfrozen"] = np.full(
+                    (bsz,), float(epoch >= freeze_backbone_epochs), np.float32
+                )
             batch = _pad_to_multiple(batch, nd)
             sharded = shard_batch(batch, mesh)
             rng, sub = jax.random.split(rng)

@@ -150,9 +150,29 @@ def init_stage(
     return model, loss_manager, state, tx
 
 
-def make_train_step(stage, model, loss_manager, tx, mesh, task=None):
+def make_train_step(stage, model, loss_manager, tx, mesh, task=None,
+                    freeze_backbone_schedule: bool = False,
+                    donate: bool = True):
+    """freeze_backbone_schedule: when True, the batch may carry a scalar
+    '_backbone_unfrozen' gate (0/1); backbone grads are multiplied by it —
+    the epoch-scheduled freeze of train_ssc.py:56-80 without recompiling."""
     closure = make_loss_closure(stage, model, loss_manager, task=task)
-    return data_parallel_train_step(closure, tx, mesh)
+    grad_transform = None
+    if freeze_backbone_schedule:
+        from creste_public_tpu.training.optim import scheduled_freeze_gate
+
+        def grad_transform(grads, batch):  # noqa: F811
+            gate = batch.get("_backbone_unfrozen", None)
+            if gate is None:
+                return grads
+            # [B] per-sample copies so the leaf shards over 'data'
+            return scheduled_freeze_gate(
+                grads, lambda p: p.startswith("depthcomp"),
+                gate.reshape(-1)[0],
+            )
+
+    return data_parallel_train_step(closure, tx, mesh, donate=donate,
+                                    grad_transform=grad_transform)
 
 
 def host_batch(batch: dict) -> dict:

@@ -56,6 +56,7 @@ def data_parallel_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     donate: bool = True,
+    grad_transform: Callable | None = None,
 ):
     """Build the jitted SPMD train step.
 
@@ -80,6 +81,10 @@ def data_parallel_train_step(
             has_aux=True,
         )
         (loss, (new_stats, metrics)), grads = grad_fn(state.params)
+        if grad_transform is not None:
+            # e.g. the epoch-scheduled backbone freeze gate
+            # (train_ssc.py:56-80 -> optim.scheduled_freeze_gate)
+            grads = grad_transform(grads, batch)
         grads = jax.lax.pmean(grads, axis)
         # per-device BN batch stats (DDP-like); running stats averaged to
         # keep the replicated state consistent
