@@ -222,9 +222,50 @@ class CodaDataset:
                 valid[i] = True
         return {"trajectories": traj, "rank": rank, "valid": valid}
 
+    # -- multiview support (PE-free distillation) ----------------------------
+    @lru_cache(maxsize=16)
+    def _se3_poses(self, seq: str) -> np.ndarray:
+        return self._poses(seq)
+
+    def overlapping_frames(self, seq: str, frame: int, k: int,
+                           seed: int = 0) -> list[int]:
+        """k frames whose camera FOV overlaps the anchor's
+        (create_pe_dataset.py overlap graph via geometry.get_overlapping_views)."""
+        poses = self._se3_poses(seq)
+        # restrict the search window for tractability
+        lo = max(0, frame - 200)
+        hi = min(len(poses), frame + 200)
+        window = poses[lo:hi]
+        cands = geo.get_overlapping_views(frame - lo, window) + lo
+        # only frames whose image actually exists on disk
+        cands = np.asarray([
+            c for c in cands
+            if os.path.exists(cc.frame_path(
+                self.root, cc.CAMERA_DIR, self.cam, seq, int(c), "jpg"
+            ))
+        ], dtype=int)
+        if len(cands) == 0:
+            return [frame] * k
+        rng = np.random.default_rng(seed)
+        picks = rng.choice(cands, size=k, replace=len(cands) < k)
+        return [int(p) for p in picks]
+
+    def _view_sample(self, seq: str, frame: int, anchor_pose: np.ndarray):
+        """(rgbd [H,W,4], p2p-into-anchor-frame [4,4]) for one view."""
+        rgb = self._image(seq, frame)
+        depth = self._depth_png(self.depth_dir, seq, frame)
+        rgbd = np.concatenate([rgb, depth[..., None]], axis=-1)
+        calib = self._calib(seq)
+        p2p = calib.pixel_to_point(ds=self.ds)
+        pose = self._se3_poses(seq)[frame]
+        rel = np.linalg.inv(anchor_pose) @ pose  # anchor_from_view
+        return rgbd.astype(np.float32), (rel @ p2p).astype(np.float32)
+
     # -- sample --------------------------------------------------------------
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         seq, frame = self.infos[idx]
+        if self.views > 1:
+            return self._getitem_multiview(seq, frame, idx)
         rgb = self._image(seq, frame)
         depth = self._depth_png(self.depth_dir, seq, frame)
         if self.image_size is not None and rgb.shape[:2] != tuple(self.image_size):
@@ -311,6 +352,34 @@ class CodaDataset:
         elif remap == "obj":
             t = T.remap_and_sum_channels(t, T.OBJ_REMAP)
         return t
+
+    def _getitem_multiview(self, seq: str, frame: int, idx: int) -> dict:
+        """Anchor + (views-1) FOV-overlapping views, p2p chained into the
+        anchor LiDAR frame (the PE-free consistency contract,
+        codapefree_dataloader.py:459-523 multiview path)."""
+        anchor_pose = self._se3_poses(seq)[frame]
+        frames = [frame] + self.overlapping_frames(
+            seq, frame, self.views - 1, seed=idx
+        )
+        rgbds, p2ps, fimgs = [], [], []
+        for f in frames:
+            rgbd, p2p = self._view_sample(seq, f, anchor_pose)
+            rgbds.append(rgbd)
+            p2ps.append(p2p)
+            fimgs.append(self._try(lambda f=f: self._fimg(seq, f)))
+        sample = {
+            "image": np.stack(rgbds),
+            "p2p": np.stack(p2ps),
+            "fov_mask": self.fov_mask.copy(),
+            "depth_label": np.stack(
+                [self._depth_png(self.gt_depth_dir, seq, f) for f in frames]
+            ).astype(np.float32),
+        }
+        if all(f is not None for f in fimgs):
+            fs = [np.moveaxis(f, 0, -1) if f.ndim == 3 and f.shape[0] < f.shape[-1]
+                  else f for f in fimgs]
+            sample["fimg_label"] = np.stack(fs)
+        return sample
 
     @staticmethod
     def _try(fn):

@@ -158,6 +158,85 @@ def earliest_pose_in_fov(expert_xy: Array, fov_mask: Array) -> Array:
 # Pose utilities (host-side NumPy; used by the data layer)
 # ---------------------------------------------------------------------------
 
+def fov_sector_overlap(
+    query_se2: np.ndarray,
+    db_se2: np.ndarray,
+    fov_deg: float = 70.0,
+    view_dist: float = 12.8,
+    max_dist: float = 19.2,
+    grid: int = 64,
+) -> np.ndarray:
+    """Fractional overlap between the query camera's FOV sector and each
+    database pose's sector.
+
+    Parity target: creste/utils/geometry.py:26-120 (`get_overlapping_views`),
+    which intersects shapely polygons. Shapely-free redesign: sectors are
+    rasterised onto a small grid around the query pose and the overlap is
+    the fraction of the query sector covered — same coarse distance gate,
+    same sector geometry, vectorised over all db poses.
+
+    Args:
+      query_se2: [3, 3] query SE(2) pose (metres).
+      db_se2: [N, 3, 3] database poses.
+    Returns [N] overlap fractions in [0, 1].
+    """
+    q = np.asarray(query_se2, np.float64)
+    db = np.asarray(db_se2, np.float64)
+    N = db.shape[0]
+    out = np.zeros((N,), np.float64)
+
+    # coarse gate: centres further than max_dist cannot overlap
+    d = np.linalg.norm(db[:, :2, 2] - q[:2, 2], axis=1)
+    cand = np.nonzero(d <= max_dist)[0]
+    if len(cand) == 0:
+        return out
+
+    # sample grid over the query sector's bounding square
+    span = view_dist
+    xs = np.linspace(q[0, 2] - span, q[0, 2] + span, grid)
+    ys = np.linspace(q[1, 2] - span, q[1, 2] + span, grid)
+    gx, gy = np.meshgrid(xs, ys)
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)  # [G, 2]
+
+    def sector_mask(pose):
+        rel = pts - pose[:2, 2]
+        dist = np.linalg.norm(rel, axis=1)
+        heading = np.arctan2(pose[1, 0], pose[0, 0])
+        ang = np.arctan2(rel[:, 1], rel[:, 0]) - heading
+        ang = (ang + np.pi) % (2 * np.pi) - np.pi
+        half = np.deg2rad(fov_deg) / 2
+        return (dist <= view_dist) & (np.abs(ang) <= half)
+
+    qmask = sector_mask(q)
+    qarea = max(qmask.sum(), 1)
+    for i in cand:
+        out[i] = (qmask & sector_mask(db[i])).sum() / qarea
+    return out
+
+
+def get_overlapping_views(
+    query_idx: int,
+    db_poses_se3: np.ndarray,
+    tp_min: float = 0.1,
+    tp_max: float = 0.8,
+    fov_deg: float = 70.0,
+    view_dist: float = 12.8,
+    max_dist: float = 19.2,
+) -> np.ndarray:
+    """Indices of db poses whose FOV overlap with the query lies in
+    [tp_min, tp_max] (geometry.py:26 contract; excludes the query itself)."""
+    se2 = np.zeros((db_poses_se3.shape[0], 3, 3))
+    se2[:, :2, :2] = db_poses_se3[:, :2, :2]
+    se2[:, :2, 2] = db_poses_se3[:, :2, 3]
+    se2[:, 2, 2] = 1.0
+    frac = fov_sector_overlap(
+        se2[query_idx], se2, fov_deg, view_dist, max_dist
+    )
+    ok = (frac >= tp_min) & (frac <= tp_max)
+    ok[query_idx] = False
+    return np.nonzero(ok)[0]
+
+
 def quat_to_matrix(qw: float, qx: float, qy: float, qz: float) -> np.ndarray:
     """Unit quaternion (w, x, y, z) -> 3x3 rotation matrix."""
     n = np.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)

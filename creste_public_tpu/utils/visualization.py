@@ -20,11 +20,10 @@ _ACTIONS = np.array(
 
 
 def _colormap(name: str, n: int = 256) -> np.ndarray:
-    import matplotlib.cm as cm
+    import matplotlib
 
-    return (cm.get_cmap(name)(np.linspace(0, 1, n))[:, :3] * 255).astype(
-        np.uint8
-    )
+    cmap = matplotlib.colormaps[name]
+    return (cmap(np.linspace(0, 1, n))[:, :3] * 255).astype(np.uint8)
 
 
 def instance_cmap(n: int, seed: int = 0) -> np.ndarray:

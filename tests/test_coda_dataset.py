@@ -182,3 +182,16 @@ def test_remap_contiguous():
     assert set(np.unique(out)) == {0, 1, 2, 3}
     assert (out[lab == 0] == 0).all()
     assert len(np.unique(out[lab == 7])) == 1
+
+
+def test_multiview_sample(coda_root):
+    cfg = make_cfg(coda_root)
+    cfg["views"] = 2
+    ds = CodaDataset(cfg, split="train")
+    s = ds[0]
+    assert s["image"].shape == (2, 64, 80, 4)
+    assert s["p2p"].shape == (2, 4, 4)
+    assert s["depth_label"].shape == (2, 64, 80)
+    # anchor p2p unchanged; the second view's p2p is pose-chained
+    base = CodaDataset(make_cfg(coda_root), split="train")[0]["p2p"][0]
+    assert np.allclose(s["p2p"][0], base, atol=1e-5)

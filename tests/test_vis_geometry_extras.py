@@ -1,0 +1,105 @@
+"""FOV overlap graph, visualization library, pointcloud renders."""
+import os
+
+import numpy as np
+
+from creste_public_tpu.utils import geometry as geo
+from creste_public_tpu.utils import visualization as vz
+from creste_public_tpu.utils.pointcloud_vis import PointCloudFigure, render_scan
+
+
+def se3(x, y, yaw):
+    m = np.eye(4)
+    m[0, 0] = np.cos(yaw); m[0, 1] = -np.sin(yaw)
+    m[1, 0] = np.sin(yaw); m[1, 1] = np.cos(yaw)
+    m[0, 3], m[1, 3] = x, y
+    return m
+
+
+def test_fov_overlap_same_pose_is_full():
+    poses = np.stack([se3(0, 0, 0), se3(0.1, 0, 0)])
+    se2 = np.zeros((2, 3, 3))
+    se2[:, :2, :2] = poses[:, :2, :2]
+    se2[:, :2, 2] = poses[:, :2, 3]
+    frac = geo.fov_sector_overlap(se2[0], se2)
+    assert frac[0] > 0.99
+    assert frac[1] > 0.8  # nearly identical pose
+
+
+def test_fov_overlap_decreases_with_distance_and_angle():
+    db = np.stack([
+        se3(0, 0, 0), se3(5, 0, 0), se3(10, 0, 0), se3(0, 0, np.pi),
+        se3(100, 0, 0),
+    ])
+    idx = geo.get_overlapping_views(0, db, tp_min=0.05, tp_max=0.95)
+    frac = geo.fov_sector_overlap(
+        np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1.0]]),
+        np.stack([np.eye(3)] * 0 + [
+            np.array([[1, 0, d], [0, 1, 0], [0, 0, 1.0]]) for d in (0, 5, 10)
+        ]),
+    )
+    assert frac[0] > frac[1] > frac[2]
+    assert 1 in idx and 4 not in idx
+    # opposite-facing pose overlaps much less than forward neighbour
+    all_frac = geo.fov_sector_overlap(
+        np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1.0]]),
+        np.stack([
+            np.array([[1, 0, 5], [0, 1, 0], [0, 0, 1.0]]),
+            np.array([[-1, 0, 0], [0, -1, 0], [0, 0, 1.0]]),
+        ]),
+    )
+    assert all_frac[0] > all_frac[1]
+
+
+def test_visualization_renders(tmp_path):
+    rng = np.random.default_rng(0)
+    depth = rng.uniform(0, 20, (32, 40)).astype(np.float32)
+    depth[0, 0] = 0
+    img = vz.colorize_depth(depth)
+    assert img.shape == (32, 40, 3) and img.dtype == np.uint8
+    assert (img[0, 0] == 0).all()
+
+    lab = rng.integers(0, 9, (32, 32))
+    for kind in ("instance", "semantic"):
+        out = vz.visualize_bev_label(lab, kind)
+        assert out.shape == (32, 32, 3)
+    elev = rng.normal(size=(16, 16, 2)).astype(np.float32)
+    assert vz.visualize_bev_label(elev, "elevation").shape == (16, 32, 3)
+
+    pol = np.abs(rng.normal(size=(16, 32, 8))).astype(np.float32)
+    pol /= pol.sum(-1, keepdims=True)
+    assert vz.visualize_bev_policy(pol).shape == (16, 32, 3)
+
+    poses = np.tile(np.eye(3, dtype=np.float32), (5, 1, 1))
+    poses[:, 0, 2] = np.arange(5) + 4
+    poses[:, 1, 2] = 8
+    base = np.zeros((32, 32, 3), np.uint8)
+    drawn = vz.visualize_bev_poses(base, poses)
+    assert (drawn[4:9, 8] == (255, 40, 40)).all(axis=-1).any()
+
+    feats = rng.normal(size=(8, 8, 16)).astype(np.float32)
+    assert vz.features_to_rgb(feats).shape == (8, 8, 3)
+
+    combo = vz.side_by_side(img, vz.visualize_bev_label(lab))
+    assert combo.shape[0] == 32
+
+    p = str(tmp_path / "x.png")
+    vz.save_png(p, img)
+    assert os.path.getsize(p) > 100
+
+
+def test_pointcloud_figure(tmp_path):
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 5, (500, 4)).astype(np.float32)
+    path = str(tmp_path / "scan.png")
+    render_scan(pts, path, size=2.0)
+    assert os.path.getsize(path) > 1000
+
+    hm = rng.normal(size=(16, 16)).astype(np.float32)
+    hm[0, 0] = np.nan
+    f = PointCloudFigure()
+    f.draw_mesh_grid(hm)
+    f.draw_trajectory(np.stack([np.arange(5.0)] * 3, axis=1))
+    mesh_path = str(tmp_path / "mesh.png")
+    f.save(mesh_path)
+    assert os.path.getsize(mesh_path) > 1000
