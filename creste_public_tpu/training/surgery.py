@@ -70,7 +70,11 @@ def make_stage_loader(
         params = raw.get("params", raw)
         stats = raw.get("batch_stats", {})
         sub = STAGE_SUBMODULE.get(stage)
-        if sub is None or sub in params:
+        # same-stage checkpoints have the same top-level module set as the
+        # target (a mere `sub in params` test misfires: stage-1 trees also
+        # contain a 'depthcomp' child)
+        same_stage = set(params) == set(state.params)
+        if sub is None or same_stage:
             # same-stage resume / full restore
             new_params = params
             new_stats = stats or state.batch_stats
