@@ -214,6 +214,35 @@ def _rules() -> list[tuple[re.Pattern, Callable]]:
                              + ("kernel" if m["leaf"] == "weight" else "bias")),
                        t_conv if m["leaf"] == "weight" else t_id))
 
+    # ---- VIN reward head: MultiScaleFCN under `<prefix>.r.` ----
+    # ConvLayer is a named Sequential (conv/norm/relu) in the reference
+    # (conv.py:63-85); the trunk interleaves bn=False ConvLayers with bare
+    # BatchNorm2d at sequential indices 1+3i / 2+3i (conv.py:116-125).
+    msfcn = r"(?P<pre>(?:[\w.]+\.)?)r\."
+    add(msfcn + r"(?P<part>prepool|skip|postpool)\.(?P<i>\d+)\.conv\.(?P<leaf>weight|bias)$",
+        lambda m, sd: ("params",
+                       _p(m, "r/{part}_{i}/Conv_0/"
+                             + ("kernel" if m["leaf"] == "weight" else "bias")),
+                       t_conv if m["leaf"] == "weight" else t_id))
+    add(msfcn + r"(?P<part>prepool|skip|postpool)\.(?P<i>\d+)\.norm\.(?P<leaf>\w+)$",
+        lambda m, sd: _bn(m, "r/{part}_{i}/BatchNorm_0"))
+
+    def trunk_conv(m, sd):
+        i = (int(m["k"]) - 1) // 3
+        return ("params",
+                _p(m, f"r/trunk_{i}/Conv_0/"
+                      + ("kernel" if m["leaf"] == "weight" else "bias")),
+                t_conv if m["leaf"] == "weight" else t_id)
+
+    def trunk_bn(m, sd):
+        i = (int(m["k"]) - 2) // 3
+        coll, leaf = _BN_LEAF[m["leaf"]]
+        return (coll, _p(m, f"r/trunk_bn_{i}/{leaf}"), t_id)
+
+    add(msfcn + r"trunk\.(?P<k>\d+)\.conv\.(?P<leaf>weight|bias)$", trunk_conv)
+    add(msfcn + r"trunk\.(?P<k>\d+)\.(?P<leaf>weight|bias|running_mean|running_var)$",
+        trunk_bn)
+
     # learnable PE map + log-variance extras
     add(r"(?P<pre>(?:[\w.]+\.)?)pe_map$",
         lambda m, sd: ("params", _p(m, "learnable_pe_map"), t_id))
@@ -391,6 +420,14 @@ _TORCH_TEMPLATES = [
      "{pre_dot}bevclassifier.out_heads.{i}.up2.2.{tleaf}", t_id),
     (r"(?P<pre>.*/)?bevclassifier/head_(?P<i>\d+)/proj/(?P<leaf>kernel|bias)$",
      "{pre_dot}bevclassifier.out_heads.{i}.proj.{wleaf}", t_conv),
+    (r"(?P<pre>.*/)?r/(?P<part>prepool|skip|postpool)_(?P<i>\d+)/Conv_0/(?P<leaf>kernel|bias)$",
+     "{pre_dot}r.{part}.{i}.conv.{wleaf}", t_conv),
+    (r"(?P<pre>.*/)?r/(?P<part>prepool|skip|postpool)_(?P<i>\d+)/BatchNorm_0/(?P<leaf>\w+)$",
+     "{pre_dot}r.{part}.{i}.norm.{tleaf}", t_id),
+    (r"(?P<pre>.*/)?r/trunk_(?P<k>\d+)/Conv_0/(?P<leaf>kernel|bias)$",
+     "{pre_dot}r.trunk.{trunk_conv_idx}.conv.{wleaf}", t_conv),
+    (r"(?P<pre>.*/)?r/trunk_bn_(?P<k>\d+)/(?P<leaf>\w+)$",
+     "{pre_dot}r.trunk.{trunk_bn_idx}.{tleaf}", t_id),
 ]
 
 _BN_LEAF_INV = {"scale": "weight", "bias": "bias", "mean": "running_mean",
@@ -429,6 +466,8 @@ def export_torch_style(variables: dict) -> dict[str, np.ndarray]:
                     fmt["seq_conv"] = str(k * 3)
                     fmt["seq_bn"] = str(k * 3 + 1)
                     fmt["dense_idx"] = str(k * 2)
+                    fmt["trunk_conv_idx"] = str(1 + k * 3)
+                    fmt["trunk_bn_idx"] = str(2 + k * 3)
                 key = "model." + template.format(**fmt)
                 arr = np.asarray(leafval)
                 if transform in (t_conv, t_depthwise, t_linear):

@@ -92,3 +92,38 @@ def test_unmatched_reported():
     sd = {"model.some_unknown_module.weight": np.zeros((3, 3))}
     _, _, unmatched = convert_torch_state_dict(sd)
     assert unmatched == ["model.some_unknown_module.weight"]
+
+
+def test_roundtrip_maxent_irl_reward_head():
+    """Stage-3 tree incl. the VIN MultiScaleFCN reward net round-trips."""
+    from creste_public_tpu.models.lfd import MaxEntIRL
+
+    cfg = presets.tiny_traversability_config()
+    cfg["solve_mdp"] = False
+    model = MaxEntIRL(cfg.to_dict())
+    rng = np.random.default_rng(0)
+    h, w = cfg["vision_backbone"]["vision_backbone"]["effnet_cfgs"]["image_size"]
+    rgbd = rng.uniform(0, 1, (1, 1, h, w, 4)).astype(np.float32)
+    p2p = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, rgbd, p2p)
+    variables = _randomized(variables)
+
+    sd = export_torch_style(variables)
+    assert any(".r.prepool.0.conv.weight" in k for k in sd)
+    assert any(".r.trunk.1.conv.weight" in k for k in sd)
+    assert any(".r.trunk.2.running_mean" in k for k in sd)
+
+    params, stats, unmatched = convert_torch_state_dict(sd)
+    assert unmatched == []
+    merged = merge_into_variables(variables, params, stats)
+
+    flat_orig = jax.tree_util.tree_flatten_with_path(
+        variables["params"]["traversability_head"])[0]
+    flat_new = dict(jax.tree_util.tree_flatten_with_path(
+        merged["params"]["traversability_head"])[0])
+    n = 0
+    for path, val in flat_orig:
+        if path in flat_new:
+            np.testing.assert_allclose(np.asarray(flat_new[path]), val)
+            n += 1
+    assert n >= 20  # reward net conv + bn leaves all round-tripped
