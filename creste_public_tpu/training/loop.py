@@ -115,6 +115,17 @@ def run_training(
     )
     eval_fn = make_eval_step(stage, model, lm, mesh, task=task)
 
+    # auto-resume: pick up the latest checkpoint under ckpt_dir
+    # (trainer.fit(ckpt_path=...) equivalent, train_ssc.py:358) — opt-in via
+    # trainer.resume=true so fresh runs into a dirty dir stay explicit.
+    start_step = 0
+    if tcfg.get("resume", False):
+        latest = ckpt.latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            state = ckpt.restore_checkpoint(latest, state)
+            start_step = int(state.step)
+            print(f"resumed from {latest} (step {start_step})")
+
     monitor = tcfg.get("monitor_metric", "loss")
     topk = TopKCheckpoints(
         ckpt_dir, monitor, tcfg.get("monitor_mode", "min"),
@@ -126,7 +137,16 @@ def run_training(
     )
 
     rng = jax.random.PRNGKey(int(tcfg.get("seed", 0)))
-    global_step = 0
+    global_step = start_step
+
+    # profiling (SURVEY §5: the reference has no profiler; jax.profiler
+    # traces are this framework's native observability): trainer.profile_dir
+    # captures steps [profile_start, profile_start + profile_steps).
+    profile_dir = tcfg.get("profile_dir", None)
+    profile_start = int(tcfg.get("profile_start", 5))
+    profile_steps = int(tcfg.get("profile_steps", 5))
+    profiling = False
+
     t0 = time.time()
     for epoch in range(max_epochs):
         epoch_metrics = defaultdict(list)
@@ -140,9 +160,18 @@ def run_training(
                 )
             batch = _pad_to_multiple(batch, nd)
             sharded = shard_batch(batch, mesh)
+            if profile_dir and global_step == profile_start and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, sharded, sub)
             global_step += 1
+            if profiling and global_step >= profile_start + profile_steps:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.log({"step": global_step,
+                            "profile_trace": profile_dir})
             if global_step % log_every == 0:
                 host = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 host.update(step=global_step, epoch=epoch,
@@ -169,6 +198,8 @@ def run_training(
         if 0 < max_steps <= global_step:
             break
 
+    if profiling:
+        jax.profiler.stop_trace()
     ckpt.save_checkpoint(ckpt_dir, global_step, state)
     return state
 
