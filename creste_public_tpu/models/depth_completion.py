@@ -41,6 +41,25 @@ class VisionEncoder(nn.Module):
         return y
 
 
+class DepthCompletionModel(nn.Module):
+    """Standalone depth-completion trainer wrapper: [B, V, H, W, C] frames
+    -> DepthCompletion outputs (the reference's depth-only stage served by
+    CODatasetDepth/CODaDepthModule, coda_dataloader_depth.py:23 /
+    dataloader.py:17)."""
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, rgbd: Array, p2p: Array | None = None,
+                 train: bool = False) -> dict[str, Array]:
+        B, V, H, W, C = rgbd.shape
+        return dict(
+            DepthCompletion(self.cfg, name="depthcomp")(
+                rgbd.reshape(B * V, H, W, C), train
+            )
+        )
+
+
 class DepthCompletion(nn.Module):
     """RGBD -> {depth_preds_logits, depth_preds_metric, depth_preds_bins,
     depth_preds_feats} (NHWC; logits [B, H, W, D], metric in meters)."""

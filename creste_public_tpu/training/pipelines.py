@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from creste_public_tpu.losses import LossManager
+from creste_public_tpu.models.depth_completion import DepthCompletionModel
 from creste_public_tpu.models.distillation import DistillationBackbone
 from creste_public_tpu.models.lfd import MaxEntIRL
 from creste_public_tpu.models.terrainnet import TerrainNet
@@ -34,11 +35,13 @@ from creste_public_tpu.training.state import (
 
 Array = Any
 
-STAGES = ("distillation", "ssc", "traversability")
+STAGES = ("depth", "distillation", "ssc", "traversability")
 
 
 def build_model(stage: str, cfg: Any):
     cfg = cfg.to_dict() if hasattr(cfg, "to_dict") else cfg
+    if stage == "depth":
+        return DepthCompletionModel(cfg)
     if stage == "distillation":
         return DistillationBackbone(cfg)
     if stage == "ssc":
@@ -52,7 +55,7 @@ def model_inputs(stage: str, batch: dict) -> tuple:
     """Positional model args for a stage from the batch dict."""
     rgbd = batch["image"]
     p2p = batch["p2p"]
-    if stage == "distillation":
+    if stage in ("depth", "distillation"):
         return (rgbd, p2p)
     if stage == "ssc":
         return (rgbd, p2p, batch.get("mv_mask", None))
