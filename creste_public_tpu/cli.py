@@ -39,19 +39,44 @@ def train_from_config(cfg: Config) -> Any:
     tcfg = Config(cfg["trainer"])
     task = cfg.get("task", None)
 
-    train_ds = build_dataset(ds_cfg, "train")
-    val_ds = build_dataset(ds_cfg, "val")
     batch = int(model_cfg.get("batch_size", 4))
     transform = None
     if ds_cfg.get("do_augmentation", False):
         from creste_public_tpu.data.augment import augment_sample
 
         transform = augment_sample
-    train_loader = EpochLoader(train_ds, batch, shuffle=True,
-                               seed=int(tcfg.get("seed", 0)),
-                               transform=transform)
-    val_loader = EpochLoader(val_ds, batch, shuffle=False, drop_last=False)
-    tcfg["steps_per_epoch"] = max(len(train_loader), 1)
+
+    if "tasks" in ds_cfg:
+        # named task datasets cycled to the longest (CODaSSCModule
+        # CombinedLoader parity, dataloader.py:352-368)
+        from creste_public_tpu.data.dataloader import MultiTaskIterator
+
+        loaders = {
+            name: EpochLoader(
+                build_dataset(Config(sub), "train"), batch, shuffle=True,
+                seed=int(tcfg.get("seed", 0)), transform=transform,
+            )
+            for name, sub in ds_cfg["tasks"].items()
+        }
+        mt = MultiTaskIterator(loaders)
+        train_factory = lambda e: mt.epoch(e)  # noqa: E731
+        first_task = next(iter(ds_cfg["tasks"]))
+        val_loader = EpochLoader(
+            build_dataset(Config(ds_cfg["tasks"][first_task]), "val"),
+            batch, shuffle=False, drop_last=False,
+        )
+        tcfg["steps_per_epoch"] = max(
+            max(len(l) for l in loaders.values()) * len(loaders), 1
+        )
+    else:
+        train_ds = build_dataset(ds_cfg, "train")
+        val_ds = build_dataset(ds_cfg, "val")
+        train_loader = EpochLoader(train_ds, batch, shuffle=True,
+                                   seed=int(tcfg.get("seed", 0)),
+                                   transform=transform)
+        val_loader = EpochLoader(val_ds, batch, shuffle=False, drop_last=False)
+        train_factory = lambda e: train_loader.epoch(e)  # noqa: E731
+        tcfg["steps_per_epoch"] = max(len(train_loader), 1)
 
     load_weights = None
     load_setting = model_cfg.get("load_setting", "strict")
@@ -73,7 +98,7 @@ def train_from_config(cfg: Config) -> Any:
     return run_training(
         stage,
         model_cfg,
-        lambda e: train_loader.epoch(e),
+        train_factory,
         lambda: val_loader.epoch(0),
         trainer_cfg=tcfg,
         task=task,

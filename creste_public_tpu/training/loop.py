@@ -103,16 +103,30 @@ def run_training(
     sample = next(it)
     steps_per_epoch = int(tcfg.get("steps_per_epoch", 100))
 
+    sample_batch = sample[1] if (
+        isinstance(sample, tuple) and isinstance(sample[0], str)
+    ) else sample
     model, lm, state, tx = pipelines.init_stage(
-        stage, cfg, jax.tree_util.tree_map(lambda x: x[:1], sample),
+        stage, cfg, jax.tree_util.tree_map(lambda x: x[:1], sample_batch),
         steps_per_epoch=steps_per_epoch, frozen_pred=frozen_pred,
     )
     if load_weights is not None:
         state = load_weights(state)
-    step_fn = pipelines.make_train_step(
-        stage, model, lm, tx, mesh, task=task,
-        freeze_backbone_schedule=freeze_backbone_epochs > 0,
-    )
+
+    # one compiled step per task: the LossManager's task filter is static,
+    # so each task's step contains exactly its loss subset (CombinedLoader
+    # max_size_cycle parity, dataloader.py:352-368)
+    step_fns: dict = {}
+
+    def get_step(task_name):
+        if task_name not in step_fns:
+            step_fns[task_name] = pipelines.make_train_step(
+                stage, model, lm, tx, mesh, task=task_name,
+                freeze_backbone_schedule=freeze_backbone_epochs > 0,
+            )
+        return step_fns[task_name]
+
+    get_step(task)
     eval_fn = make_eval_step(stage, model, lm, mesh, task=task)
 
     # auto-resume: pick up the latest checkpoint under ckpt_dir
@@ -151,7 +165,14 @@ def run_training(
     for epoch in range(max_epochs):
         epoch_metrics = defaultdict(list)
         batches = it if epoch == 0 else iter(factory(epoch))
-        for batch in _chain_first(sample if epoch == 0 else None, batches):
+        for item in _chain_first(sample if epoch == 0 else None, batches):
+            # multi-task iterators yield (task, batch) pairs
+            if isinstance(item, tuple) and len(item) == 2 and isinstance(
+                item[0], str
+            ):
+                batch_task, batch = item
+            else:
+                batch_task, batch = task, item
             if freeze_backbone_epochs > 0:
                 bsz = next(iter(batch.values())).shape[0]
                 batch = dict(batch)
@@ -164,7 +185,7 @@ def run_training(
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
             rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(state, sharded, sub)
+            state, metrics = get_step(batch_task)(state, sharded, sub)
             global_step += 1
             if profiling and global_step >= profile_start + profile_steps:
                 jax.block_until_ready(metrics)
