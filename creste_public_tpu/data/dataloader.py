@@ -106,6 +106,75 @@ class EpochLoader:
         return self.epoch(0)
 
 
+class SequenceChunkLoader:
+    """Temporal mini-sequence batches for ConvGRU training.
+
+    The reference trains use_temporal models with a miniseq sampler:
+    sequences are cut into fixed chunks, only chunk 0 carries the
+    begin-of-sequence flag, and the RNN hidden state is carried (detached)
+    across consecutive chunks (rnn.py:59-135 asserts exactly this layout).
+
+    Yields {**stacked_chunk_tensors, 'bos': [B] bool}: frame-indexed keys
+    (image, p2p, depth_label) get a [B, T, ...] time axis; per-scene label
+    keys come from each chunk's LAST frame.
+    """
+
+    FRAME_KEYS = ("image", "p2p", "depth_label", "fimg_label")
+
+    def __init__(self, dataset, batch_size: int, seq_len: int,
+                 chunk_len: int, shuffle: bool = True, seed: int = 0):
+        assert seq_len % chunk_len == 0, (
+            "seq_len must be divisible by chunk_len (rnn.py:103 assert)"
+        )
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seq_len = seq_len
+        self.chunk_len = chunk_len
+        self.shuffle = shuffle
+        self.seed = seed
+        n = len(dataset)
+        self.windows = [
+            i for i in range(0, n - seq_len + 1, seq_len)
+        ]
+
+    def __len__(self) -> int:
+        per_seq = self.seq_len // self.chunk_len
+        return (len(self.windows) // self.batch_size) * per_seq
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        order = np.asarray(self.windows)
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        n_seq = len(order) - (len(order) % self.batch_size)
+        per_seq = self.seq_len // self.chunk_len
+        for i in range(0, n_seq, self.batch_size):
+            starts = order[i : i + self.batch_size]
+            for c in range(per_seq):
+                frames = [
+                    [self.dataset[int(s + c * self.chunk_len + t)]
+                     for t in range(self.chunk_len)]
+                    for s in starts
+                ]
+                batch: dict = {}
+                sample0 = frames[0][-1]
+                for k in sample0:
+                    if k in self.FRAME_KEYS:
+                        # [B, T, ...]; per-frame keys may carry a leading
+                        # singleton view axis — squeeze it into time
+                        batch[k] = np.stack([
+                            np.concatenate([np.asarray(f[k]) for f in seq])
+                            for seq in frames
+                        ])
+                    elif isinstance(sample0[k], dict):
+                        batch[k] = collate([seq[-1][k] for seq in frames])
+                    else:
+                        batch[k] = np.stack(
+                            [np.asarray(seq[-1][k]) for seq in frames]
+                        )
+                batch["bos"] = np.full((len(starts),), c == 0)
+                yield batch
+
+
 class MultiTaskIterator:
     """Cycle named task loaders to the longest one (CombinedLoader
     max_size_cycle, dataloader.py:352-368). Yields (task, batch)."""

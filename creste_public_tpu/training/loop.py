@@ -208,11 +208,21 @@ def run_training(
         logger.log(summary)
 
         if val_data is not None and (epoch + 1) % val_every == 0:
+            val_batches = list(val_data())
             val_metrics = run_validation(
-                eval_fn, state, val_data(), mesh, nd
+                eval_fn, state, val_batches, mesh, nd
             )
             val_metrics.update(step=global_step, epoch=epoch, split="val")
             logger.log(val_metrics)
+            if tcfg.get("log_val_images", False) and val_batches:
+                from creste_public_tpu.training.visual_log import log_visuals
+
+                vb = val_batches[0]
+                vb = vb[1] if isinstance(vb, tuple) else vb
+                log_visuals(
+                    stage, model, state, vb, logger, global_step,
+                    out_dir=os.path.join(ckpt_dir, "visuals"),
+                )
             topk.maybe_save(state, global_step, val_metrics)
         else:
             topk.maybe_save(state, global_step, summary)

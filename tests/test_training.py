@@ -94,3 +94,21 @@ def test_eval_step(ssc_setup):
     eval_fn = make_eval_step("ssc", model, lm, mesh, task="joint")
     metrics = run_validation(eval_fn, state, [batch], mesh, 2)
     assert "loss" in metrics and np.isfinite(metrics["loss"])
+
+
+def test_sequence_chunk_loader():
+    from creste_public_tpu.data.dataloader import SequenceChunkLoader
+    from creste_public_tpu.data.synthetic import SyntheticCodaDataset
+
+    ds = SyntheticCodaDataset(length=8, image_size=(64, 80), ds=4, grid=32,
+                              map_range=1.6, fdn_dim=16, horizon=10)
+    loader = SequenceChunkLoader(ds, batch_size=2, seq_len=4, chunk_len=2,
+                                 shuffle=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) == len(loader) == 2  # 2 windows/batch, 2 chunks each
+    b0, b1 = batches
+    assert b0["image"].shape == (2, 2, 64, 80, 4)  # [B, T, H, W, 4]
+    assert b0["p2p"].shape == (2, 2, 4, 4)
+    assert b0["bos"].all() and not b1["bos"].any()
+    # scene labels come from the chunk's last frame
+    assert b0["3d_sam_label"].shape == (2, 32, 32)
