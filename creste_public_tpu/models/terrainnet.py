@@ -37,6 +37,8 @@ class TerrainNet(nn.Module):
         p2p: Array,
         mv_mask: Array | None = None,
         train: bool = False,
+        temporal_hidden: list | None = None,
+        bos: bool = True,
     ) -> dict[str, Array]:
         """
         Args:
@@ -88,7 +90,8 @@ class TerrainNet(nn.Module):
             t_cfg = cfg["temporal_layer"]["net_kwargs"]
             ns = outputs["bev_features"].shape[0] // B
             merged = MergeUnit(t_cfg, name="temporal_layer")(
-                outputs["bev_features"], t=ns, train=train
+                outputs["bev_features"], t=ns, train=train,
+                hidden=temporal_hidden, bos=bos,
             )
             if isinstance(merged, tuple):
                 merged, hidden = merged

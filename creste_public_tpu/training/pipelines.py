@@ -178,6 +178,81 @@ def make_train_step(stage, model, loss_manager, tx, mesh, task=None,
                                     grad_transform=grad_transform)
 
 
+def make_temporal_train_step(model, loss_manager, tx, mesh, task=None,
+                             bos: bool = True, donate: bool = False):
+    """SPMD step for sequence-chunked TerrainNet training: the ConvGRU
+    hidden state is an explicit carry — step(state, batch, rng, hidden) ->
+    (state, metrics, new_hidden). `bos` is static (chunk 0 ignores the
+    carried hidden and zero-inits; rnn.py:117-124). Hidden arrays already
+    carry stop_gradient (convgru.MergeUnit), matching the reference's
+    detached cross-chunk state."""
+    from jax.sharding import PartitionSpec as P
+
+    from creste_public_tpu.training.state import TrainState  # noqa: F401
+
+    axis = "data"
+
+    def _step(state, batch, rng, hidden):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            outputs, mutated = model.apply(
+                variables,
+                batch["image"], batch["p2p"], None,
+                train=True, temporal_hidden=hidden, bos=bos,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            td = merge_tensor_dict(batch, outputs, task)
+            loss_dict, meta = loss_manager(td, {"rng": rng,
+                                                "axis_name": axis})
+            total = LossManager.total(loss_dict)
+            metrics = {k: w * v for k, (w, v) in loss_dict.items()}
+            metrics.update(
+                {k: v for k, v in meta.items() if jnp.ndim(v) == 0}
+            )
+            return total, (mutated["batch_stats"],
+                           outputs["temporal_hidden"], metrics)
+
+        (loss, (stats, new_hidden, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads = jax.lax.pmean(grads, axis)
+        stats = jax.lax.pmean(stats, axis)
+        metrics = jax.lax.pmean(dict(metrics, loss=loss), axis)
+        import optax as _optax
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = _optax.apply_updates(state.params, updates)
+        import dataclasses
+
+        new_state = dataclasses.replace(
+            state, step=state.step + 1, params=new_params,
+            batch_stats=stats, opt_state=new_opt,
+        )
+        return new_state, metrics, new_hidden
+
+    sharded = jax.shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(axis)),
+        out_specs=(P(), P(), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def init_temporal_hidden(model, state, sample_batch):
+    """Zero hidden-state template with the right shapes (one eval forward)."""
+    outputs = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(sample_batch["image"]), jnp.asarray(sample_batch["p2p"]),
+        None, train=False,
+    )
+    return jax.tree_util.tree_map(jnp.zeros_like,
+                                  outputs["temporal_hidden"])
+
+
 def host_batch(batch: dict) -> dict:
     """np-ify a batch (drop None leaves)."""
     return jax.tree_util.tree_map(np.asarray, batch)
