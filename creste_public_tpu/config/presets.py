@@ -6,7 +6,9 @@ Values match (file:line cites into /root/reference):
   - stage-1 model: configs/model/distillation/effnet_ds2_dinov2_128.yaml
   - dataset geometry: configs/dataset/creste.yaml (map 25.6 m, voxel 0.1 m)
 
-`scale` < 1 produces a structurally-identical tiny model for tests.
+The tiny_* presets produce structurally-identical miniature models for
+CPU-friendly tests (matched 3.2 m depth range so the splat has in-range
+points at random init).
 """
 from __future__ import annotations
 
