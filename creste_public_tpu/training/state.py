@@ -92,6 +92,10 @@ def data_parallel_train_step(
         metrics = jax.lax.pmean(metrics, axis)
         loss = jax.lax.pmean(loss, axis)
 
+        # per-step gradient norm (train_pefree.py:101-112 logging parity)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = dataclasses.replace(
