@@ -62,7 +62,7 @@ def _eval_q(rv: Array, w: Array) -> Array:
     )
 
 
-@partial(jax.jit, static_argnames=("max_iters", "backend"))
+@partial(jax.jit, static_argnames=("discount", "threshold", "max_iters", "backend"))
 def value_iteration(
     r: Array,
     discount: float = 0.99,
