@@ -7,11 +7,13 @@ all-reduce plus a differentiable all_gather inside the contrastive loss
   * `make_mesh` — one `jax.sharding.Mesh` over a 'data' axis (grown to
     ('data', 'model') when tensor sharding is ever needed; the CREStE
     models are <30M params so DP is the right layout).
-  * `data_parallel_train_step` — shard_map SPMD step: per-device grads,
-    `psum`-mean (replacing DDP all-reduce over NCCL with XLA collectives
-    over ICI), per-device BatchNorm batch stats (matching DDP's unsynced
-    BN) with psum-averaged running stats.
-  * `shard_batch` — leading-axis NamedSharding placement of host batches.
+  * `shard_batch` / `replicate` — NamedSharding placement of host batches
+    and replicated state.
+  * the shard_map SPMD step itself lives in `training.state.
+    data_parallel_train_step`: per-device grads, `psum`-mean (replacing DDP
+    all-reduce over NCCL with XLA collectives over ICI), per-device
+    BatchNorm batch stats (matching DDP's unsynced BN) with psum-averaged
+    running stats.
   * the supcon loss gathers negatives with `jax.lax.all_gather(...,
     axis_name='data')` inside the step (losses/supcon.py), replacing
     torch.distributed.nn.all_gather (supcon_loss.py:43-78).
