@@ -125,6 +125,8 @@ class EfficientNetB0Trunk(nn.Module):
 
     in_channels: int = 4
     image_size: tuple[int, int] = (512, 612)
+    remat: bool = False  # checkpoint each MBConv block (activation memory
+    # for FLOPs — jax.checkpoint; enables ~2x larger train batches)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> dict[str, Array]:
@@ -152,9 +154,11 @@ class EfficientNetB0Trunk(nn.Module):
         endpoints: dict[str, Array] = {}
         prev = x
         n_blocks = len(blocks)
+        block_cls = (nn.remat(MBConvBlock, static_argnums=(2,))
+                     if self.remat else MBConvBlock)
         for idx, (cin, cout, k, stride, e, nom) in enumerate(blocks):
             drop = DROP_CONNECT_RATE * idx / n_blocks
-            x = MBConvBlock(
+            x = block_cls(
                 cin, cout, k, stride, e, nom, drop, name=f"block_{idx}"
             )(x, train)
             if prev.shape[1] > x.shape[1]:
@@ -198,11 +202,13 @@ class EffNet(nn.Module):
     image_size: Sequence[int] = (512, 612)
     downsample: int = 4
     apply_final_batch_norm: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False):
         endpoints = EfficientNetB0Trunk(
-            self.in_channels, tuple(self.image_size), name="trunk"
+            self.in_channels, tuple(self.image_size), remat=self.remat,
+            name="trunk",
         )(x, train)
         endpoints["reduction_0"] = x
 

@@ -36,6 +36,7 @@ class VisionEncoder(nn.Module):
             out_channels=int(eff["out_channels"]),
             image_size=tuple(eff["image_size"]),
             downsample=int(eff["downsample"]),
+            remat=bool(eff.get("remat", False)),
             name="effnet",
         )(x, train)
         return y

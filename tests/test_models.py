@@ -130,3 +130,31 @@ def test_reward_method_gradient(tiny_trav_cfg):
     g = jax.grad(f)(iv)
     assert g.shape == iv.shape
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_effnet_remat_grad_equivalence():
+    """remat=True (activation checkpointing) must not change numerics."""
+    import jax.numpy as jnp
+    from creste_public_tpu.models.blocks.effnet import EffNet
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (1, 64, 80, 4)).astype(np.float32)
+    )
+    m1 = EffNet(4, 32, (64, 80), 4, remat=False)
+    m2 = EffNet(4, 32, (64, 80), 4, remat=True)
+    v = m1.init({"params": jax.random.PRNGKey(0)}, x)
+
+    def loss(m):
+        return lambda p: jnp.sum(
+            m.apply({"params": p, "batch_stats": v["batch_stats"]}, x, False)[0] ** 2
+        )
+
+    l1, g1 = jax.value_and_grad(loss(m1))(v["params"])
+    l2, g2 = jax.value_and_grad(loss(m2))(v["params"])
+    assert abs(float(l1) - float(l2)) < 1e-5
+    d = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2))
+    )
+    assert d < 1e-4
