@@ -42,12 +42,17 @@ def t_id(w: np.ndarray) -> np.ndarray:
     return w
 
 
+def t_nchw_map(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (0, 2, 3, 1))  # [1,C,H,W] -> [1,H,W,C]
+
+
 # inverses (flax -> torch), used by export_torch_style
 _INV = {
     t_conv: lambda w: np.transpose(w, (3, 2, 0, 1)),
     t_depthwise: lambda w: np.transpose(w, (3, 2, 0, 1)),
     t_linear: lambda w: w.T,
     t_id: lambda w: w,
+    t_nchw_map: lambda w: np.transpose(w, (0, 3, 1, 2)),
 }
 
 # BN param-name mapping torch -> (collection, flax leaf)
@@ -162,7 +167,9 @@ def _rules() -> list[tuple[re.Pattern, Callable]]:
                        _p(m, f"cam2map/z_proj/Dense_{int(m['k']) // 2}/"
                              + ("kernel" if m["leaf"] == "weight" else "bias")),
                        t_linear if m["leaf"] == "weight" else t_id))
-    add(r"(?P<pre>(?:[\w.]+\.)?)cam2map\.vision_fusion\.model\.(?P<k>\d+)\.(?P<leaf>\w+)$",
+    # the reference's ConvEncoder stores its Sequential as `.convs`
+    # (conv.py:56); accept `.model.` too for self-exported dicts.
+    add(r"(?P<pre>(?:[\w.]+\.)?)cam2map\.vision_fusion\.(?:convs|model)\.(?P<k>\d+)\.(?P<leaf>\w+)$",
         mlc("cam2map/vision_fusion"))
 
     # ---- bevclassifier (resnet18 layers + DeconvHeads) ----
@@ -243,9 +250,18 @@ def _rules() -> list[tuple[re.Pattern, Callable]]:
     add(msfcn + r"trunk\.(?P<k>\d+)\.(?P<leaf>weight|bias|running_mean|running_var)$",
         trunk_bn)
 
-    # learnable PE map + log-variance extras
-    add(r"(?P<pre>(?:[\w.]+\.)?)pe_map$",
-        lambda m, sd: ("params", _p(m, "learnable_pe_map"), t_id))
+    # learnable PE map (+ its decode head) + log-variance extras.
+    # The torch param is `learnable_pe_map` [1, C, H, W] (distillation.py:64);
+    # flax stores it channels-last.
+    add(r"(?P<pre>(?:[\w.]+\.)?)learnable_pe_map$",
+        lambda m, sd: ("params", _p(m, "learnable_pe_map"), t_nchw_map))
+    add(r"(?P<pre>(?:[\w.]+\.)?)pe_head\.0\.(?P<leaf>weight|bias)$",
+        lambda m, sd: ("params",
+                       _p(m, "pe_head_conv/"
+                             + ("kernel" if m["leaf"] == "weight" else "bias")),
+                       t_conv if m["leaf"] == "weight" else t_id))
+    add(r"(?P<pre>(?:[\w.]+\.)?)pe_head\.1\.(?P<leaf>\w+)$",
+        lambda m, sd: _bn(m, "pe_head_bn"))
     add(r"(?P<pre>(?:[\w.]+\.)?)log_var(iance)?$",
         lambda m, sd: ("params", _p(m, "log_var"), t_id))
     add(r"num_batches_tracked$", lambda m, sd: None)
@@ -395,9 +411,17 @@ _TORCH_TEMPLATES = [
     (r"(?P<pre>.*/)?cam2map/z_proj/Dense_(?P<k>\d+)/(?P<leaf>kernel|bias)$",
      "{pre_dot}cam2map.z_proj.{dense_idx}.{wleaf}", t_linear),
     (r"(?P<pre>.*/)?cam2map/vision_fusion/Conv_(?P<k>\d+)/(?P<leaf>kernel|bias)$",
-     "{pre_dot}cam2map.vision_fusion.model.{seq_conv}.{wleaf}", t_conv),
+     "{pre_dot}cam2map.vision_fusion.convs.{seq_conv}.{wleaf}", t_conv),
     (r"(?P<pre>.*/)?cam2map/vision_fusion/BatchNorm_(?P<k>\d+)/(?P<leaf>\w+)$",
-     "{pre_dot}cam2map.vision_fusion.model.{seq_bn}.{tleaf}", t_id),
+     "{pre_dot}cam2map.vision_fusion.convs.{seq_bn}.{tleaf}", t_id),
+    (r"(?P<pre>.*/)?learnable_pe_map$",
+     "{pre_dot}learnable_pe_map", t_nchw_map),
+    (r"(?P<pre>.*/)?pe_head_conv/(?P<leaf>kernel|bias)$",
+     "{pre_dot}pe_head.0.{wleaf}", t_conv),
+    (r"(?P<pre>.*/)?pe_head_bn/(?P<leaf>\w+)$",
+     "{pre_dot}pe_head.1.{tleaf}", t_id),
+    (r"(?P<pre>.*/)?log_var$",
+     "{pre_dot}log_var", t_id),
     (r"(?P<pre>.*/)?bevclassifier/conv1/kernel$",
      "{pre_dot}bevclassifier.conv1.weight", t_conv),
     (r"(?P<pre>.*/)?bevclassifier/bn1/(?P<leaf>\w+)$",
@@ -470,13 +494,10 @@ def export_torch_style(variables: dict) -> dict[str, np.ndarray]:
                     fmt["trunk_bn_idx"] = str(2 + k * 3)
                 key = "model." + template.format(**fmt)
                 arr = np.asarray(leafval)
-                if transform in (t_conv, t_depthwise, t_linear):
-                    # bias leaves pass through even under conv templates
-                    if leaf == "bias" or arr.ndim <= 1:
-                        out[key] = arr
-                    else:
-                        out[key] = _INV[transform](arr)
-                else:
+                # bias leaves pass through even under conv templates
+                if transform is t_id or leaf == "bias" or arr.ndim <= 1:
                     out[key] = arr
+                else:
+                    out[key] = _INV[transform](arr)
                 break
     return out

@@ -1,0 +1,340 @@
+"""Golden parity tests: flax models vs independent pure-torch mirrors.
+
+These tests prove the north-star fidelity target (BASELINE.md: <=1e-3
+reward-map deviation vs the PyTorch reference) in both directions:
+
+  flax model --export_torch_style--> reference-style state_dict
+      --load--> torch mirror (reference numerics, torch kernels)
+      --forward--> compare outputs.
+
+The mirrors (creste_public_tpu/parity/torch_mirror.py) re-implement the
+reference's modules in plain torch with the reference's exact module names,
+so any transcription error in the flax models OR the import/export mapping
+(BN momentum, padding amounts, endpoint boundaries, scatter semantics,
+bilinear alignment) shows up as a numerical diff here.
+
+All variables are randomized (including BN running stats) so that identity
+scales / zero means cannot mask mapping bugs.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from creste_public_tpu.config import presets
+from creste_public_tpu.models import DistillationBackbone, MaxEntIRL, TerrainNet
+from creste_public_tpu.models.blocks.convnets import MultiScaleFCN
+from creste_public_tpu.models.blocks.resnet import InpaintingResNet18MultiHead
+from creste_public_tpu.models.depth_completion import DepthCompletion
+from creste_public_tpu.ops.value_iteration import value_iteration
+from creste_public_tpu.parity import torch_mirror as tm
+from creste_public_tpu.training.torch_import import export_torch_style
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def randomize_variables(variables, seed=0):
+    """Replace BN stats/scales/biases with random (non-identity) values and
+    jitter all other leaves, so mapping bugs cannot hide behind identities."""
+    rng = np.random.default_rng(seed)
+
+    def visit(path, leaf):
+        name = str(getattr(path[-1], "key", path[-1]))
+        arr = np.asarray(leaf)
+        if name == "var":
+            return jnp.asarray(rng.uniform(0.5, 1.5, arr.shape), arr.dtype)
+        if name == "mean":
+            return jnp.asarray(rng.normal(0, 0.3, arr.shape), arr.dtype)
+        if name == "scale":
+            return jnp.asarray(rng.normal(1.0, 0.1, arr.shape), arr.dtype)
+        if name == "bias":
+            return jnp.asarray(rng.normal(0.0, 0.05, arr.shape), arr.dtype)
+        jitter = rng.normal(0, float(np.std(arr)) * 0.1 + 1e-3, arr.shape)
+        return jnp.asarray(arr + jitter, arr.dtype)
+
+    return jax.tree_util.tree_map_with_path(visit, variables)
+
+
+def to_torch_nchw(x):
+    a = np.asarray(x)
+    if a.ndim == 4:
+        a = np.transpose(a, (0, 3, 1, 2))
+    return torch.from_numpy(np.ascontiguousarray(a.astype(np.float32)))
+
+
+def from_flax_nhwc(x):
+    a = np.asarray(x)
+    if a.ndim == 4:
+        a = np.transpose(a, (0, 3, 1, 2))
+    return a
+
+
+def assert_close(flax_out, torch_out, name, tol):
+    f = from_flax_nhwc(flax_out)
+    t = torch_out.detach().numpy()
+    assert f.shape == t.shape, f"{name}: shape {f.shape} vs {t.shape}"
+    scale = max(1.0, float(np.abs(t).max()))
+    diff = float(np.abs(f - t).max()) / scale
+    assert diff <= tol, f"{name}: rel-max-abs diff {diff:.3e} > {tol:.0e}"
+
+
+def make_inputs(cfg, B=1, N=1, seed=0):
+    h, w = cfg.vision_backbone.effnet_cfgs.image_size
+    rng = np.random.default_rng(seed)
+    rgbd = rng.uniform(0, 1, (B, N, h, w, 4)).astype(np.float32)
+    rgbd[..., 3] *= 3000.0  # mm depth channel
+    fx = fy = 40.0
+    Kinv = np.array([[1 / fx, 0, -w / 2 / fx], [0, 1 / fy, -h / 2 / fy],
+                     [0, 0, 1.0]])
+    R = np.array([[0, 0, 1.0], [-1, 0, 0], [0, -1, 0]])
+    p2p = np.eye(4, dtype=np.float32)
+    p2p[:3, :3] = (R @ Kinv).astype(np.float32)
+    p2p = np.tile(p2p, (B, N, 1, 1))
+    return rgbd, p2p
+
+
+# ---------------------------------------------------------------------------
+# module-level goldens
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return presets.tiny_terrainnet_config()
+
+
+@pytest.fixture(scope="module")
+def trav_cfg():
+    return presets.tiny_traversability_config()
+
+
+def test_depth_completion_golden(tiny_cfg):
+    """EffNet trunk (static same pad, endpoints) + Up decoder + depth head +
+    softmax-expectation metric depth vs torch kernels."""
+    cfg = tiny_cfg.to_dict()
+    model = DepthCompletion(cfg)
+    rgbd, _ = make_inputs(tiny_cfg)
+    x = jnp.asarray(rgbd[:, 0])
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, False)
+    variables = randomize_variables(variables)
+    out = model.apply(variables, x, False)
+
+    sd = export_torch_style(variables)
+    mirror = tm.TorchDepthCompletion(cfg)
+    tm.load_exported_state_dict(mirror, sd)
+    mirror.eval()
+    with torch.no_grad():
+        tout = mirror(to_torch_nchw(rgbd[:, 0]))
+
+    assert_close(out["depth_preds_feats"], tout["depth_preds_feats"],
+                 "depth_preds_feats", 2e-5)
+    assert_close(out["depth_preds_logits"], tout["depth_preds_logits"],
+                 "depth_preds_logits", 2e-5)
+    m = np.asarray(out["depth_preds_metric"])
+    t = tout["depth_preds_metric"].numpy()
+    assert np.abs(m - t).max() <= 1e-3  # metres; north-star tolerance
+
+
+def test_effnet_endpoint_shapes_odd_size():
+    """Static-same-pad chain at the reference's real 512x612 resolution:
+    ds4 feature grid must be 128x153 (SURVEY §6 key shapes) — checked via
+    shape inference only (no compute at full res on CPU)."""
+    from creste_public_tpu.models.blocks.effnet import EffNet
+
+    model = EffNet(in_channels=4, out_channels=8, image_size=(512, 612),
+                   downsample=4)
+    out_shape = jax.eval_shape(
+        lambda v, x: model.apply(v, x, False)[0],
+        jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                       jnp.zeros((1, 512, 612, 4))),
+        jnp.zeros((1, 512, 612, 4)),
+    )
+    assert out_shape.shape == (1, 128, 153, 8)
+
+
+def test_resnet_multihead_golden(tiny_cfg):
+    bev = tiny_cfg.bev_classifier.net_kwargs.to_dict()
+    model = InpaintingResNet18MultiHead(
+        num_classes=tuple(bev["num_classes"]),
+        output_prefix=tuple(bev["output_prefix"]),
+        input_key="bev_features")
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, (2, 32, 32, bev["num_input_features"])).astype(
+        np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           {"bev_features": jnp.asarray(x)}, "", False)
+    variables = randomize_variables(variables, seed=1)
+    out = model.apply(variables, {"bev_features": jnp.asarray(x)}, "", False)
+
+    # flax paths are at the root here; prefix them for the exporter templates
+    prefixed = {
+        coll: {"bevclassifier": tree}
+        for coll, tree in variables.items()
+    }
+    sd = export_torch_style(prefixed)
+    mirror = tm.TorchInpaintingResNet18MultiHead(
+        bev["num_input_features"], list(bev["num_classes"]),
+        list(bev["output_prefix"]))
+    tm.load_exported_state_dict(mirror, sd, prefix="bevclassifier.")
+    mirror.eval()
+    with torch.no_grad():
+        tout = mirror({"bev_features": to_torch_nchw(x)})
+
+    for key in ("inpainting_sam_preds", "inpainting_sam_dynamic_preds",
+                "elevation_preds"):
+        assert_close(out[key], tout[key], key, 5e-5)
+
+
+def test_msfcn_reward_golden(trav_cfg):
+    rcfg = trav_cfg.traversability_head.net_kwargs.reward_cfg.to_dict()
+    model = MultiScaleFCN(rcfg["net_kwargs"])
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, (2, 16, 32, rcfg["net_kwargs"]["prepool"]["dims"][0])
+                   ).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), False)
+    variables = randomize_variables(variables, seed=2)
+    out = model.apply(variables, jnp.asarray(x), False)
+
+    prefixed = {coll: {"r": tree} for coll, tree in variables.items()}
+    sd = export_torch_style(prefixed)
+    mirror = tm.TorchMultiScaleFCN(rcfg["net_kwargs"])
+    tm.load_exported_state_dict(mirror, sd, prefix="r.")
+    mirror.eval()
+    with torch.no_grad():
+        tout = mirror(to_torch_nchw(x))
+    assert_close(out, tout, "reward", 5e-5)
+
+
+def test_value_iteration_golden():
+    """XLA while_loop VI vs the reference's unbounded torch loop."""
+    rng = np.random.default_rng(3)
+    r = rng.normal(-0.5, 0.5, (2, 16, 32, 1)).astype(np.float32)
+    v, policy, q = value_iteration(jnp.asarray(r), discount=0.99,
+                                   threshold=1e-3, backend="xla")
+    tv, tpolicy, tq = tm.torch_value_iteration(
+        to_torch_nchw(r), threshold=1e-3, discount=0.99)
+    assert_close(v, tv, "value", 1e-4)
+    assert_close(q, tq, "q", 1e-4)
+    assert_close(policy, tpolicy, "policy", 1e-4)
+
+
+def test_cam2map_splat_golden(tiny_cfg):
+    """z-MLP + vision fusion + backprojection + bilinear scatter splat vs the
+    torch scatter_add_/scatter_reduce mirror."""
+    ccfg = tiny_cfg.camera_projector.to_dict()
+    from creste_public_tpu.models.blocks.splat import Camera2MapMulti
+
+    model = Camera2MapMulti(ccfg, scatter_mode="mean")
+    rng = np.random.default_rng(4)
+    B, N, H, W = 1, 1, 16, 20
+    Fdim = ccfg["vision_fusion"]["dims"][0] - ccfg["z_embed_dim"]
+    depth = rng.uniform(0.1, 2.5, (B, N, H, W)).astype(np.float32)
+    feats = rng.normal(0, 1, (B, N, H, W, Fdim)).astype(np.float32)
+    _, p2p = make_inputs(tiny_cfg, B=B, N=N)
+    # rescale intrinsics for the 16x20 grid
+    p2p[:, :, :3, :3] *= 4.0
+    p2p[:, :, 2, 2] = 1.0
+
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(depth), jnp.asarray(feats),
+                           jnp.asarray(p2p), None, False)
+    variables = randomize_variables(variables, seed=4)
+    out = model.apply(variables, jnp.asarray(depth), jnp.asarray(feats),
+                      jnp.asarray(p2p), None, False)
+
+    prefixed = {coll: {"cam2map": tree} for coll, tree in variables.items()}
+    sd = export_torch_style(prefixed)
+    mirror = tm.TorchCamera2MapMulti(ccfg, scatter_mode="mean")
+    tm.load_exported_state_dict(mirror, sd, prefix="cam2map.")
+    mirror.eval()
+    with torch.no_grad():
+        tout = mirror(torch.from_numpy(depth),
+                      to_torch_nchw(feats[:, 0]).unsqueeze(1),
+                      torch.from_numpy(p2p))
+
+    assert_close(out["bev_features"], tout["bev_features"], "bev_features",
+                 5e-5)
+    assert_close(out["bev_densities"], tout["bev_densities"],
+                 "bev_densities", 5e-5)
+
+
+def test_supcon_golden():
+    """Single-rank multi-positive contrastive loss vs the reference formula."""
+    from creste_public_tpu.losses.supcon import multi_pos_con_loss
+
+    rng = np.random.default_rng(5)
+    M, Z = 64, 16
+    feats = rng.normal(0, 1, (M, Z)).astype(np.float32)
+    labels = rng.integers(1, 6, (M,)).astype(np.int32)
+    loss = multi_pos_con_loss(jnp.asarray(feats), jnp.asarray(labels),
+                              jnp.ones((M,), bool), temperature=0.1)
+    tloss = tm.torch_multi_pos_con_loss(torch.from_numpy(feats),
+                                        torch.from_numpy(labels.astype(np.int64)),
+                                        temperature=0.1)
+    assert abs(float(loss) - float(tloss)) <= 1e-5
+
+
+# ---------------------------------------------------------------------------
+# end-to-end goldens (the north star)
+# ---------------------------------------------------------------------------
+
+
+def test_terrainnet_e2e_golden(tiny_cfg):
+    cfg = tiny_cfg.to_dict()
+    model = TerrainNet(cfg)
+    rgbd, p2p = make_inputs(tiny_cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(rgbd), jnp.asarray(p2p), None, False)
+    variables = randomize_variables(variables, seed=6)
+    out = model.apply(variables, jnp.asarray(rgbd), jnp.asarray(p2p), None,
+                      False)
+
+    sd = export_torch_style(variables)
+    mirror = tm.TorchTerrainNet(cfg)
+    tm.load_exported_state_dict(mirror, sd)
+    mirror.eval()
+    with torch.no_grad():
+        tout = mirror(to_torch_nchw(rgbd[:, 0]).unsqueeze(1),
+                      torch.from_numpy(p2p))
+
+    for key, tol in (("bev_features", 1e-4),
+                     ("inpainting_sam_preds", 5e-4),
+                     ("inpainting_sam_dynamic_preds", 5e-4),
+                     ("elevation_preds", 5e-4)):
+        assert_close(out[key], tout[key], key, tol)
+
+
+def test_reward_e2e_golden(trav_cfg):
+    """The deployed inference graph (compile.py): rgbd+p2p -> reward map.
+    North star: <=1e-3 deviation (BASELINE.md)."""
+    cfg = trav_cfg.to_dict()
+    cfg["solve_mdp"] = False
+    model = MaxEntIRL(cfg)
+    rgbd, p2p = make_inputs(trav_cfg.vision_backbone)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(rgbd), jnp.asarray(p2p), None, False)
+    variables = randomize_variables(variables, seed=7)
+    out = model.apply(variables, jnp.asarray(rgbd), jnp.asarray(p2p), None,
+                      False)
+
+    sd = export_torch_style(variables)
+    mirror = tm.TorchMaxEntIRLReward(cfg)
+    tm.load_exported_state_dict(mirror, sd)
+    mirror.eval()
+    with torch.no_grad():
+        tout = mirror(to_torch_nchw(rgbd[:, 0]).unsqueeze(1),
+                      torch.from_numpy(p2p))
+
+    r = from_flax_nhwc(out["traversability_preds"])
+    t = tout["traversability_preds"].numpy()
+    assert r.shape == t.shape
+    dev = float(np.abs(r - t).max())
+    assert dev <= 1e-3, f"reward-map deviation {dev:.2e} > 1e-3 north star"
