@@ -1,0 +1,216 @@
+"""SSC/SOC SemanticMap label-builder tests (reference build_feature_map.py).
+
+Covers: image->point label transfer, global accumulation + ego crop, count
+binning with the BEV flip, the on-disk contract consumed by
+CodaDataset._load_count_bin, and a CE-head training step on the produced
+labels (the full round trip of VERDICT round-1 item #2).
+"""
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from creste_public_tpu.data import coda_constants as cc
+from creste_public_tpu.preprocessing.semantic_map import (
+    SemanticPointMap,
+    build_count_bins,
+    labels_from_image,
+    project_points_to_pixels,
+)
+
+
+def test_project_points_to_pixels_center():
+    # camera looking down lidar +x: u = fx*(-y)/x + cx, v = fy*(-z)/x + cy
+    P = np.array([[72.0, 0, 40, 0], [0, 72.0, 32, 0], [0, 0, 1, 0]])
+    l2c = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0],
+                    [0, 0, 0, 1.0]])
+    l2r = P @ l2c
+    pts = np.array([
+        [2.0, 0.0, 0.0],   # straight ahead -> principal point (40, 32)
+        [2.0, 1.0, 0.0],   # left -> u = 40 - 36 = 4
+        [-1.0, 0.0, 0.0],  # behind camera -> masked
+    ])
+    uv, mask = project_points_to_pixels(pts, l2r, 64, 80)
+    assert mask.tolist() == [True, True, False]
+    assert uv[0].tolist() == [40, 32]
+    assert uv[1].tolist() == [4, 32]
+
+
+def test_labels_from_image_gather():
+    P = np.array([[72.0, 0, 40, 0], [0, 72.0, 32, 0], [0, 0, 1, 0]])
+    l2c = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0],
+                    [0, 0, 0, 1.0]])
+    img = np.zeros((64, 80), np.int64)
+    img[32, 40] = 7
+    labels, mask = labels_from_image(
+        np.array([[2.0, 0, 0], [-1.0, 0, 0]]), img, P @ l2c)
+    assert labels[0, 0] == 7 and mask[0]
+    assert labels[1, 0] == 0 and not mask[1]
+
+
+def test_scene_counts_and_flip():
+    """A labelled point 1 m ahead of the ego pose lands in the front half of
+    the BEV grid after the reference's flip, with the right class count."""
+    smap = SemanticPointMap((32, 32), (0.1, 0.1), (-1.6, -1.6, 1.6, 1.6))
+    pts = np.repeat(np.array([[1.0, 0.0, 0.0]]), 3, axis=0)
+    smap.add_frame(pts, np.full((3,), 5, np.int64), np.eye(4))
+    scene = smap.scene_at_pose(np.eye(4), num_classes=8)
+    assert scene.shape == (32, 32, 8)
+    assert scene.sum() == 3
+    # pre-flip voxel: x=1.0 -> (1.0+1.6)/0.1 = 26; y=0 -> 16
+    # flip [0,1]: row 31-26=5, col 31-16=15
+    assert scene[5, 15, 5] == 3
+
+
+def test_crop_follows_pose():
+    """Points enter/leave the ego window as the pose moves (global map)."""
+    smap = SemanticPointMap((32, 32), (0.1, 0.1), (-1.6, -1.6, 1.6, 1.6))
+    smap.add_frame(np.array([[1.0, 0.0, 0.0]]), np.array([3]), np.eye(4))
+    far = np.eye(4)
+    far[0, 3] = 10.0
+    local, labels = smap.crop_at_pose(far)
+    assert len(local) == 0
+    near = np.eye(4)
+    near[0, 3] = 0.5
+    local, labels = smap.crop_at_pose(near)
+    assert len(local) == 1 and abs(local[0, 0] - 0.5) < 1e-6
+
+
+def test_max_z_and_label_filters():
+    smap = SemanticPointMap((32, 32), (0.1, 0.1), (-1.6, -1.6, 1.6, 1.6),
+                            max_z=3.0)
+    pts = np.array([[1.0, 0, 0], [1.0, 0, 5.0], [1.0, 0.5, 0]])
+    smap.add_frame(pts, np.array([2, 2, 0]), np.eye(4))
+    # z=5 filtered by max_z; label 0 filtered by filter_labels
+    assert sum(len(p) for p in smap._points) == 1
+
+
+@pytest.fixture(scope="module")
+def ssc_tree(tmp_path_factory):
+    """Synthetic on-disk tree: calib + poses + labelled scans."""
+    root = tmp_path_factory.mktemp("ssc")
+    seq = "0"
+    cal = root / cc.CALIBRATION_DIR / seq
+    cal.mkdir(parents=True)
+    P = [72.0, 0.0, 40.0, 0.0, 0.0, 72.0, 32.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+    l2c = [0, -1, 0, 0, 0, 0, -1, 0, 1, 0, 0, 0]
+    Pm = np.asarray(P).reshape(3, 4)
+    l2cm = np.vstack([np.asarray(l2c, np.float64).reshape(3, 4), [0, 0, 0, 1]])
+    with open(cal / "calib_cam0_intrinsics.yaml", "w") as f:
+        yaml.safe_dump({
+            "camera_matrix": {"rows": 3, "cols": 3,
+                              "data": [72.0, 0, 40, 0, 72.0, 32, 0, 0, 1]},
+            "rectification_matrix": {"rows": 3, "cols": 3,
+                                     "data": [1, 0, 0, 0, 1, 0, 0, 0, 1]},
+            "projection_matrix": {"rows": 3, "cols": 4, "data": P},
+            "image_height": 64, "image_width": 80}, f)
+    with open(cal / "calib_os1_to_cam0.yaml", "w") as f:
+        yaml.safe_dump({
+            "extrinsic_matrix": {"rows": 3, "cols": 4, "data": l2c},
+            "projection_matrix": {
+                "rows": 3, "cols": 4,
+                "data": (Pm @ l2cm).reshape(-1).tolist()}}, f)
+
+    poses = root / cc.POSES_DIR / "dense"
+    poses.mkdir(parents=True)
+    rows = [[i * 0.1, i * 0.2, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
+            for i in range(4)]
+    np.savetxt(poses / f"{seq}.txt", np.asarray(rows))
+
+    splits = root / cc.SPLITS_DIR
+    splits.mkdir()
+    with open(splits / "train.txt", "w") as f:
+        f.write("0 1\n")
+
+    rng = np.random.default_rng(0)
+    scan_dir = root / cc.POINTCLOUD_DIR / cc.DEFAULT_LIDAR / seq
+    scan_dir.mkdir(parents=True)
+    lab_dir = root / "3d_semantic" / seq
+    lab_dir.mkdir(parents=True)
+    N = 256
+    for fr in range(4):
+        xyz = np.zeros((N, cc.OUSTER_FEATURES), np.float32)
+        xyz[:, 0] = rng.uniform(0.3, 1.5, N)
+        xyz[:, 1] = rng.uniform(-1.0, 1.0, N)
+        xyz[:, 2] = rng.uniform(-0.5, 0.5, N)
+        path = cc.frame_path(str(root), cc.POINTCLOUD_DIR, cc.DEFAULT_LIDAR,
+                             seq, fr, "bin")
+        xyz.reshape(-1).tofile(path)
+        labels = rng.integers(1, 25, N).astype(np.uint32)
+        labels.tofile(lab_dir / f"{fr}.bin")
+    return str(root)
+
+
+def test_build_count_bins_roundtrip(ssc_tree):
+    """Builder -> on-disk bins -> CodaDataset._load_count_bin -> CE-head
+    gradient step (the reference's 3d_ssc task end to end)."""
+    n = build_count_bins(
+        ssc_tree, "0", "3d_semantic",
+        out_dir=os.path.join(ssc_tree, cc.SSC_LABEL_DIR),
+        grid=32, map_range=1.6, num_classes=25, out_dtype="int64",
+        window=2, chunk=2,
+    )
+    assert n == 4
+    raw = np.fromfile(
+        os.path.join(ssc_tree, cc.SSC_LABEL_DIR, "0", "1.bin"), np.int64)
+    assert raw.size == 32 * 32 * 25 and raw.sum() > 0
+
+    from creste_public_tpu.data.coda_dataset import CodaDataset
+    from creste_public_tpu.data.taxonomy import NUM_SEM_REMAPPED
+
+    ds = CodaDataset({"root": ssc_tree, "views": 1, "ds": 4, "grid": 32,
+                      "map_range": 1.6, "horizon": 2})
+    t = ds._load_count_bin(cc.SSC_LABEL_DIR, "0", 1, remap="sem")
+    assert t.shape == (32, 32, NUM_SEM_REMAPPED)
+    assert t.sum() == raw.sum()  # remap_and_sum conserves counts
+
+    # idempotency: re-running skips existing files
+    assert build_count_bins(
+        ssc_tree, "0", "3d_semantic",
+        out_dir=os.path.join(ssc_tree, cc.SSC_LABEL_DIR),
+        grid=32, map_range=1.6, num_classes=25, window=2, chunk=2) == 0
+
+    # CE head trains on the produced label
+    import jax
+    import jax.numpy as jnp
+
+    from creste_public_tpu.losses.manager import LossManager
+
+    lm = LossManager({"loss": [{"name": "CrossEntropy", "weight": 1.0,
+                                "pred_key": "outputs/ssc_preds",
+                                "lab_key": "inputs/3d_ssc_label",
+                                "num_class": NUM_SEM_REMAPPED,
+                                "class_dim": -1}]})
+    label = jnp.asarray(t)[None]
+    fov = jnp.ones((1, 32, 32), bool)
+    params = jnp.zeros((NUM_SEM_REMAPPED,))
+
+    def loss_fn(p):
+        pred = jnp.zeros((1, 32, 32, NUM_SEM_REMAPPED)) + p
+        td = {"outputs/ssc_preds": pred, "inputs/3d_ssc_label": label,
+              "inputs/fov_mask": fov}
+        loss_dict, _ = lm(td)
+        return LossManager.total(loss_dict)
+
+    g = jax.grad(loss_fn)(params)
+    assert np.isfinite(float(loss_fn(params))) and np.abs(np.asarray(g)).sum() > 0
+
+
+def test_build_count_bins_image_source(ssc_tree):
+    """Per-pixel label images lift through the projection (feat_type image)."""
+    lab_dir = os.path.join(ssc_tree, "2d_semantic", "0")
+    os.makedirs(lab_dir, exist_ok=True)
+    rng = np.random.default_rng(1)
+    for fr in range(4):
+        np.save(os.path.join(lab_dir, f"{fr}.npy"),
+                rng.integers(1, 25, (64, 80)).astype(np.int64))
+    n = build_count_bins(
+        ssc_tree, "0", "2d_semantic",
+        out_dir=os.path.join(ssc_tree, "3d_ssc_img"),
+        grid=32, map_range=1.6, num_classes=25, window=2, chunk=4,
+        label_source="image")
+    assert n == 4
+    raw = np.fromfile(os.path.join(ssc_tree, "3d_ssc_img", "0", "0.bin"),
+                      np.int64)
+    assert raw.sum() > 0
