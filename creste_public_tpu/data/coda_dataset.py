@@ -188,14 +188,10 @@ class CodaDataset:
         )
         chain = poses[ids]  # [T, 4, 4] world poses
         rel = np.linalg.inv(chain[0]) @ chain  # ego-relative
-        bev = np.tile(np.eye(3, dtype=np.float32), (T, 1, 1))
-        bev[:, :2, :2] = rel[:, :2, :2]
-        bev[:, :2, 2] = rel[:, :2, 3] / self.voxel
-        t_l2b = np.array(
-            [[-1, 0, self.grid // 2], [0, -1, self.grid // 2], [0, 0, 1]],
-            np.float32,
-        )
-        out = t_l2b @ bev
+        out = np.stack([
+            geo.se3_to_bev_se2(p, (self.grid, self.grid), self.voxel)
+            for p in rel
+        ]).astype(np.float32)
         out[:, :2, 2] = np.clip(out[:, :2, 2], 0, self.grid)
         return out
 

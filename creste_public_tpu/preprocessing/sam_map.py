@@ -111,6 +111,89 @@ def accumulate_instance_maps(maps: list[Array], ignore: int = 0) -> Array:
     return out
 
 
+def make_labels_contiguous(label_map: Array, ignore: int = 0) -> Array:
+    """Compact label ids to 0..K (reference utils.make_labels_contiguous_
+    vectorized); ignore stays 0."""
+    uniq = np.unique(label_map)
+    uniq = uniq[uniq != ignore]
+    out = np.zeros_like(label_map)
+    for new, old in enumerate(uniq, start=1):
+        out[label_map == old] = new
+    return out
+
+
+def backproject_depth_image(depth_m: Array, p2p: Array) -> Array:
+    """Dense depth image -> LiDAR-frame points (Camera2World semantics,
+    splat_projection.py:12-51, NumPy host-side).
+
+    depth_m: [H, W] metres; p2p: [4, 4]. Returns [H, W, 3].
+    """
+    H, W = depth_m.shape
+    v, u = np.mgrid[0:H, 0:W].astype(np.float64)
+    d = depth_m.astype(np.float64)
+    pix = np.stack([u * d, v * d, d, np.ones_like(d)], axis=-1)
+    xyz = np.einsum("ij,hwj->hwi", p2p.astype(np.float64), pix)
+    return xyz[..., :3]
+
+
+def static_bev_map(
+    sam_img: Array,
+    depth_m: Array,
+    p2p: Array,
+    grid: int,
+    map_range: float,
+    height_range: tuple[float, float] = (-1.5, 1.0),
+    depth_range: tuple[float, float] = (0.0, 12.8),
+    static_mask: Array | None = None,
+) -> Array:
+    """One frame's per-pixel SAM instances lifted to the BEV grid through
+    the depth horizon (compute_sam_map_single, build_sam_map.py:720-760).
+
+    Args:
+      sam_img: [H, W] per-pixel instance ids (0 = unlabeled).
+      depth_m: [H, W] dense metric depth (metres) at the same resolution.
+      p2p: [4, 4] pixel->anchor-LiDAR transform (pose-chained for horizon
+        frames: inv(pose_anchor) @ pose_frame @ p2p_frame).
+      static_mask: optional [H, W] bool — True where the pixel is static
+        (the reference's mv_mask = dynamic_label == 0, :742).
+
+    Returns [grid, grid] contiguous instance labels (0 = empty).
+    """
+    xyz = backproject_depth_image(depth_m, p2p).reshape(-1, 3)
+    labels = sam_img.reshape(-1).astype(np.int64)
+    mask = (
+        (depth_m.reshape(-1) > depth_range[0])
+        & (depth_m.reshape(-1) < depth_range[1])
+        & (xyz[:, 2] > height_range[0])
+        & (xyz[:, 2] < height_range[1])
+    )
+    if static_mask is not None:
+        mask &= static_mask.reshape(-1)
+    m = majority_label_map(xyz[mask], labels[mask], grid, map_range)
+    return make_labels_contiguous(m)
+
+
+def static_bev_map_horizon(
+    frames: list[tuple[Array, Array, Array]],
+    grid: int,
+    map_range: float,
+    static_masks: list[Array] | None = None,
+    **kwargs,
+) -> Array:
+    """Depth-horizon static SAM map: per-frame BEV lifts greedily merged,
+    anchor (frames[0]) first (the loop at build_sam_map.py:736-783).
+
+    frames: [(sam_img, depth_m, p2p_into_anchor), ...] with the anchor at
+    index 0 (the reference reorders horizon_ids anchor-first, :734-736).
+    """
+    maps = []
+    for i, (sam_img, depth_m, p2p) in enumerate(frames):
+        sm = static_masks[i] if static_masks is not None else None
+        maps.append(static_bev_map(sam_img, depth_m, p2p, grid, map_range,
+                                   static_mask=sm, **kwargs))
+    return accumulate_instance_maps(maps)
+
+
 def remove_ground_plane(
     points: Array, z_threshold: float = 0.15, iterations: int = 50,
     seed: int = 0,

@@ -273,17 +273,22 @@ def relative_poses(poses: np.ndarray, ref_idx: int = 0) -> np.ndarray:
 
 
 def se3_to_bev_se2(
-    pose: np.ndarray, lidar2map: np.ndarray, voxel_size_xy: np.ndarray
+    pose: np.ndarray, bev_hw: tuple[int, int], voxel: float
 ) -> np.ndarray:
     """Project a relative SE(3) pose into a 3x3 SE(2) on the BEV grid.
 
-    The translation lands in (row, col) grid units; rotation keeps the yaw
-    component after the lidar->map axis swap. Reference behaviour:
-    codapefree_dataloader.py:579-615 (`_load_traverse` / T_lidar_to_bev).
+    Exactly the reference's T_lidar_to_bev construction
+    (codapefree_dataloader.py:579-615, mirrored by
+    data/coda_dataset.py::_traversability): the pose's xy translation in
+    grid units is mapped by [[-1, 0, W//2], [0, -1, H//2]], so forward (+x)
+    motion moves toward row 0 — the same orientation as the splat grid
+    (splat_projection.py:81-88) and the north-facing FOV mask.
     """
-    T_map = lidar2map @ pose @ np.linalg.inv(lidar2map)
-    out = np.eye(3)
-    out[:2, :2] = T_map[:2, :2]
-    grid_t = (lidar2map[:2, :3] @ pose[:3, 3] + lidar2map[:2, 3]) / voxel_size_xy
-    out[:2, 2] = grid_t
-    return out
+    H, W = bev_hw
+    se2 = np.eye(3, dtype=np.float64)
+    se2[:2, :2] = pose[:2, :2]
+    se2[:2, 2] = pose[:2, 3] / voxel
+    t_l2b = np.array(
+        [[-1, 0, W // 2], [0, -1, H // 2], [0, 0, 1]], np.float64
+    )
+    return t_l2b @ se2
