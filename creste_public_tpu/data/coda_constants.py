@@ -48,22 +48,26 @@ TASK_DIRS = (
 TASK_TO_LABEL = {d: f"{d}_label" for d in TASK_DIRS}
 LABEL_TO_TASK = {v: k for k, v in TASK_TO_LABEL.items()}
 
-# SAM-dynamic 6-class taxonomy (coda_utils.py:6-31): background + movable
-# object groups prompted through GroundingDINO during label generation.
+# SAM-dynamic 6-class taxonomy — the EXACT reference ids (coda_utils.py:6-31;
+# on-disk `3d_sam_dynamic` class channels use these values): 0 unlabeled,
+# 1 pedestrian, 2 vehicle, 3 bicycle, 4 motorcycle, 5 scooter.
 SAM_DYNAMIC_CLASSES = (
-    "background",
-    "person",
+    "unlabeled",
+    "pedestrian",
     "vehicle",
-    "cyclist",
+    "bicycle",
+    "motorcycle",
     "scooter",
-    "animal",
 )
+SAM_DYNAMIC_LABEL_MAP = {name: i for i, name in enumerate(SAM_DYNAMIC_CLASSES)}
+# GroundingDINO text prompts per class (create_sam_dataset.py:230-237 builds
+# the prompt string from the class names; synonyms improve recall).
 SAM_DYNAMIC_TEXT_PROMPTS = {
-    "person": ("person", "pedestrian"),
+    "pedestrian": ("person", "pedestrian"),
     "vehicle": ("car", "truck", "bus", "golf cart", "service vehicle"),
-    "cyclist": ("bicycle", "cyclist", "motorcycle"),
+    "bicycle": ("bicycle", "cyclist"),
+    "motorcycle": ("motorcycle", "moped"),
     "scooter": ("scooter", "skateboard", "segway"),
-    "animal": ("dog", "cat", "squirrel", "bird"),
 }
 
 

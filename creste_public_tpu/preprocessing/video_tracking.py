@@ -1,0 +1,351 @@
+"""Video instance tracking for dynamic SAM labels (pluggable FM backends).
+
+Parity target: the reference's dynamic labeling pipeline —
+scripts/preprocessing/create_sam_dataset.py:312-448 (GroundingDINO box
+prompts -> SAM2 image masks -> SAM2 video propagation) and the IoU-tracked
+instance registry of scripts/preprocessing/sam2_utils/
+mask_dictionary_model.py (MaskDictionaryModel.update_masks, iou 0.8).
+
+Design: the three foundation-model roles are interfaces —
+
+  Detector       : image -> (boxes [N,4], class_ids [N])      (GroundingDINO)
+  MaskPredictor  : image, boxes -> masks [N, H, W] bool       (SAM2 image)
+  VideoPropagator: frames, masks -> per-frame propagated masks (SAM2 video)
+
+Real HF-backed implementations load lazily and only when weights are
+available (zero-egress environments fall back); the deterministic fakes
+(threshold blobs + centroid-matched propagation) exercise the *algorithm* —
+registry reconciliation, id persistence, per-frame map emission — without
+any model weights, so the tracking logic is testable everywhere.
+
+Per-frame output: [H, W, 2] uint16 (instance_id, class_id), the contract
+build_sam_map's dynamic mode consumes; class ids follow
+coda_constants.SAM_DYNAMIC_LABEL_MAP (reference coda_utils.py:6-31).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Protocol
+
+import numpy as np
+
+from creste_public_tpu.data.coda_constants import (
+    SAM_DYNAMIC_CLASSES,
+    SAM_DYNAMIC_LABEL_MAP,
+    SAM_DYNAMIC_TEXT_PROMPTS,
+)
+
+
+def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
+    """MaskDictionaryModel.calculate_iou (mask_dictionary_model.py:74-86)."""
+    a = a.astype(np.float32)
+    b = b.astype(np.float32)
+    inter = float((a * b).sum())
+    union = float(a.sum() + b.sum() - inter)
+    return inter / union if union > 0 else 0.0
+
+
+@dataclass
+class ObjectInfo:
+    """mask_dictionary_model.py ObjectInfo."""
+
+    instance_id: int = 0
+    mask: np.ndarray | None = None
+    class_id: int = 0
+
+
+@dataclass
+class InstanceRegistry:
+    """MaskDictionaryModel: per-frame object registry with IoU-based id
+    reconciliation against the previous frame's tracked registry."""
+
+    labels: dict[int, ObjectInfo] = field(default_factory=dict)
+
+    def add_detections(
+        self, masks: np.ndarray, class_ids: np.ndarray
+    ) -> None:
+        """Fresh per-frame detections, provisional ids 1..N
+        (add_new_frame_annotation)."""
+        self.labels = {
+            i + 1: ObjectInfo(i + 1, m.astype(bool), int(c))
+            for i, (m, c) in enumerate(zip(masks, class_ids))
+        }
+
+    def reconcile(
+        self,
+        tracked: "InstanceRegistry",
+        objects_count: int,
+        iou_threshold: float = 0.8,
+    ) -> int:
+        """update_masks (mask_dictionary_model.py:38-66): each new detection
+        adopts the tracked instance id it overlaps with IoU > threshold,
+        otherwise receives a fresh global id. Returns the updated count."""
+        updated: dict[int, ObjectInfo] = {}
+        for obj in self.labels.values():
+            if obj.mask is None or obj.mask.sum() == 0:
+                continue
+            matched = 0
+            for prev in tracked.labels.values():
+                if prev.mask is not None and mask_iou(obj.mask, prev.mask) > iou_threshold:
+                    matched = prev.instance_id
+                    break
+            if not matched:
+                objects_count += 1
+                matched = objects_count
+            updated[matched] = ObjectInfo(matched, obj.mask, obj.class_id)
+        self.labels = updated
+        return objects_count
+
+    def to_maps(self, hw: tuple[int, int]) -> np.ndarray:
+        """[H, W, 2] uint16 (instance, class); later ids overwrite."""
+        out = np.zeros((*hw, 2), np.uint16)
+        for obj in sorted(self.labels.values(), key=lambda o: o.instance_id):
+            if obj.mask is not None:
+                out[obj.mask, 0] = obj.instance_id
+                out[obj.mask, 1] = obj.class_id
+        return out
+
+
+# ---------------------------------------------------------------------------
+# interfaces
+# ---------------------------------------------------------------------------
+
+
+class Detector(Protocol):
+    def detect(self, image: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """image [H,W,3] -> (boxes [N,4] xyxy, class_ids [N])."""
+
+
+class MaskPredictor(Protocol):
+    def predict(self, image: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+        """image, boxes [N,4] -> masks [N, H, W] bool."""
+
+
+class VideoPropagator(Protocol):
+    def propagate(
+        self, frames: list[np.ndarray], registry: InstanceRegistry,
+        start: int, count: int,
+    ) -> dict[int, InstanceRegistry]:
+        """Track registry masks through frames[start:start+count]."""
+
+
+# ---------------------------------------------------------------------------
+# real FM backends (lazy; None when weights unavailable)
+# ---------------------------------------------------------------------------
+
+
+def grounding_dino_prompt() -> str:
+    """'pedestrian. vehicle. ...' prompt string (create_sam_dataset.py:352)."""
+    return " ".join(f"{name}." for name in SAM_DYNAMIC_CLASSES[1:])
+
+
+class GroundingDinoDetector:
+    """HF IDEA-Research/grounding-dino-base zero-shot box detector
+    (create_sam_dataset.py:347-386)."""
+
+    def __init__(self, model_id="IDEA-Research/grounding-dino-base",
+                 box_threshold=0.25, text_threshold=0.25):
+        from transformers import (AutoModelForZeroShotObjectDetection,
+                                  AutoProcessor)
+
+        self.processor = AutoProcessor.from_pretrained(model_id)
+        self.model = AutoModelForZeroShotObjectDetection.from_pretrained(
+            model_id)
+        self.box_threshold = box_threshold
+        self.text_threshold = text_threshold
+        self._synonyms = {
+            syn: name for name, syns in SAM_DYNAMIC_TEXT_PROMPTS.items()
+            for syn in syns
+        }
+
+    def detect(self, image):
+        import torch as _t
+        from PIL import Image
+
+        pil = Image.fromarray(image)
+        inputs = self.processor(images=pil, text=grounding_dino_prompt(),
+                                return_tensors="pt")
+        with _t.no_grad():
+            outputs = self.model(**inputs)
+        results = self.processor.post_process_grounded_object_detection(
+            outputs, inputs.input_ids, box_threshold=self.box_threshold,
+            text_threshold=self.text_threshold,
+            target_sizes=[pil.size[::-1]])
+        boxes = results[0]["boxes"].cpu().numpy()
+        cls = np.array([
+            SAM_DYNAMIC_LABEL_MAP.get(
+                self._synonyms.get(lbl, lbl), 0)
+            for lbl in results[0]["labels"]
+        ])
+        return boxes, cls
+
+
+def try_load_detector() -> Detector | None:
+    try:
+        return GroundingDinoDetector()
+    except Exception:
+        return None
+
+
+class HFSamMaskPredictor:
+    """facebook/sam-vit-* box-prompted mask predictor (the SAM2 image
+    predictor role, create_sam_dataset.py:336-349)."""
+
+    def __init__(self, model_id="facebook/sam-vit-huge"):
+        from transformers import SamModel, SamProcessor
+
+        self.processor = SamProcessor.from_pretrained(model_id)
+        self.model = SamModel.from_pretrained(model_id)
+
+    def predict(self, image, boxes):
+        import torch as _t
+        from PIL import Image
+
+        pil = Image.fromarray(image)
+        inputs = self.processor(
+            pil, input_boxes=[[list(map(float, b)) for b in boxes]],
+            return_tensors="pt")
+        with _t.no_grad():
+            outputs = self.model(**inputs, multimask_output=False)
+        masks = self.processor.image_processor.post_process_masks(
+            outputs.pred_masks.cpu(), inputs["original_sizes"].cpu(),
+            inputs["reshaped_input_sizes"].cpu())[0]
+        return masks[:, 0].numpy().astype(bool)
+
+
+def try_load_mask_predictor() -> MaskPredictor | None:
+    try:
+        return HFSamMaskPredictor()
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# deterministic fakes (testing + weightless environments)
+# ---------------------------------------------------------------------------
+
+
+class FakeBlobDetector:
+    """Connected bright blobs above ``threshold`` become detections; class
+    cycles through the movable classes deterministically by blob order."""
+
+    def __init__(self, threshold: float = 200.0, min_area: int = 4):
+        self.threshold = threshold
+        self.min_area = min_area
+
+    def detect(self, image):
+        from scipy import ndimage
+
+        gray = image.mean(axis=-1) if image.ndim == 3 else image
+        lab, n = ndimage.label(gray > self.threshold)
+        boxes, cls = [], []
+        for i in range(1, n + 1):
+            ys, xs = np.nonzero(lab == i)
+            if len(ys) < self.min_area:
+                continue
+            boxes.append([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+            cls.append(1 + (len(cls) % (len(SAM_DYNAMIC_CLASSES) - 1)))
+        return (np.asarray(boxes, np.float32).reshape(-1, 4),
+                np.asarray(cls, np.int64))
+
+
+class FakeBoxMaskPredictor:
+    """Masks = thresholded pixels inside each box (deterministic)."""
+
+    def __init__(self, threshold: float = 200.0):
+        self.threshold = threshold
+
+    def predict(self, image, boxes):
+        gray = image.mean(axis=-1) if image.ndim == 3 else image
+        hot = gray > self.threshold
+        masks = np.zeros((len(boxes), *gray.shape), bool)
+        for i, (x0, y0, x1, y1) in enumerate(boxes.astype(int)):
+            masks[i, y0:y1, x0:x1] = hot[y0:y1, x0:x1]
+        return masks
+
+
+class FakeCentroidPropagator:
+    """Deterministic stand-in for SAM2 video propagation: in each subsequent
+    frame, re-threshold blobs and assign each registry object the blob whose
+    centroid is nearest to its previous centroid (greedy, <= max_shift px).
+    """
+
+    def __init__(self, threshold: float = 200.0, max_shift: float = 20.0):
+        self.threshold = threshold
+        self.max_shift = max_shift
+
+    def propagate(self, frames, registry, start, count):
+        from scipy import ndimage
+
+        out: dict[int, InstanceRegistry] = {}
+        prev = {oid: ndimage.center_of_mass(o.mask)
+                for oid, o in registry.labels.items() if o.mask is not None}
+        classes = {oid: o.class_id for oid, o in registry.labels.items()}
+        for f in range(start, min(start + count, len(frames))):
+            gray = frames[f].mean(axis=-1) if frames[f].ndim == 3 else frames[f]
+            lab, n = ndimage.label(gray > self.threshold)
+            blob_masks = [lab == i for i in range(1, n + 1)]
+            blob_cent = [ndimage.center_of_mass(m) for m in blob_masks]
+            reg = InstanceRegistry()
+            used = set()
+            for oid, cent in prev.items():
+                best, best_d = -1, self.max_shift
+                for bi, bc in enumerate(blob_cent):
+                    if bi in used:
+                        continue
+                    d = float(np.hypot(bc[0] - cent[0], bc[1] - cent[1]))
+                    if d < best_d:
+                        best, best_d = bi, d
+                if best >= 0:
+                    used.add(best)
+                    reg.labels[oid] = ObjectInfo(
+                        oid, blob_masks[best], classes[oid])
+            out[f] = reg
+            prev = {oid: ndimage.center_of_mass(o.mask)
+                    for oid, o in reg.labels.items()}
+            classes = {oid: o.class_id for oid, o in reg.labels.items()}
+        return out
+
+
+# ---------------------------------------------------------------------------
+# the tracking loop (create_sam_dataset.py:312-448)
+# ---------------------------------------------------------------------------
+
+
+def track_video(
+    frames: list[np.ndarray],
+    detector: Detector,
+    mask_predictor: MaskPredictor,
+    propagator: VideoPropagator,
+    step: int = 1,
+    iou_threshold: float = 0.8,
+) -> list[np.ndarray]:
+    """Detect every ``step`` frames, reconcile ids against the tracked
+    registry (IoU 0.8), propagate through the gap — the reference's Steps
+    2-5. Returns per-frame [H, W, 2] uint16 (instance, class) maps.
+    """
+    hw = frames[0].shape[:2]
+    results = [np.zeros((*hw, 2), np.uint16) for _ in frames]
+    tracked = InstanceRegistry()
+    objects_count = 0
+    for start in range(0, len(frames), step):
+        boxes, cls = detector.detect(frames[start])
+        if len(boxes):
+            masks = mask_predictor.predict(frames[start], boxes)
+            det = InstanceRegistry()
+            det.add_detections(masks, cls)
+            objects_count = det.reconcile(tracked, objects_count,
+                                          iou_threshold)
+        else:
+            det = tracked  # nothing detected: keep tracking what we have
+        if not det.labels:
+            continue
+        # Track through the gap INCLUDING the next keyframe (the reference's
+        # propagate_in_video(max_frame_num_to_track=step) ends on the next
+        # detection frame), so reconciliation always compares masks at the
+        # same frame; the next window overwrites the keyframe's map.
+        segments = propagator.propagate(frames, det, start, step + 1)
+        for fidx, reg in sorted(segments.items()):
+            results[fidx] = reg.to_maps(hw)
+            tracked = reg
+    return results
