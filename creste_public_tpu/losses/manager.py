@@ -234,7 +234,7 @@ class CrossEntropy(Loss):
             (jnp.argmax(pred, -1) == gt_mode).astype(jnp.float32), acc_valid
         )
         task = self.config.get("task", "3d_ssc")
-        return {f"{task}/cls_loss": loss}, {f"{task}/mIoU": acc}
+        return {f"{task}/cls_loss": loss}, {f"{task}/acc": acc}
 
 
 class FocalLoss(Loss):
@@ -274,7 +274,7 @@ class FocalLoss(Loss):
             (jnp.argmax(pred, -1) == gt_mode).astype(jnp.float32), acc_valid
         )
         task = self.config.get("task", "3d_ssc")
-        return {f"{task}/cls_loss": loss}, {f"{task}/FocalLoss/mIoU": acc}
+        return {f"{task}/cls_loss": loss}, {f"{task}/FocalLoss/acc": acc}
 
 
 class SupPixelConLoss(Loss):

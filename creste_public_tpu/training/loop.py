@@ -101,7 +101,20 @@ def run_training(
     first = factory(0)
     it = iter(first)
     sample = next(it)
-    steps_per_epoch = int(tcfg.get("steps_per_epoch", 100))
+    steps_per_epoch = tcfg.get("steps_per_epoch", None)
+    if steps_per_epoch is None:
+        # The LR schedule decays per-epoch via step counts; a silently wrong
+        # default corrupts ExponentialLR cadence (the CLI always sets this).
+        import warnings
+
+        warnings.warn(
+            "trainer.steps_per_epoch not set; defaulting to 100 — the "
+            "ExponentialLR decay cadence will be wrong unless the real "
+            "loader length is 100 steps/epoch",
+            stacklevel=2,
+        )
+        steps_per_epoch = 100
+    steps_per_epoch = int(steps_per_epoch)
 
     sample_batch = sample[1] if (
         isinstance(sample, tuple) and isinstance(sample[0], str)

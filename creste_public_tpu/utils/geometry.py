@@ -122,6 +122,45 @@ def create_trapezoidal_fov_mask(
     return mask
 
 
+def warp_bev_mask(mask: np.ndarray, pose: np.ndarray, voxel: float) -> np.ndarray:
+    """Warp a BEV mask by a relative SE(3) pose (xy+yaw only).
+
+    Reference: `_load_fov_mask` (codapefree_dataloader.py:691-709) warps the
+    frustum mask by each pose via an SE(2) affine about the grid centre
+    (train_utils.py:302-320 compute_transformation_fromSE3 + kornia warp).
+    Nearest-neighbour inverse warp; cells sampling out of bounds are False.
+    """
+    H, W = mask.shape
+    A = se3_to_bev_se2(pose, (H, W), voxel) @ np.linalg.inv(
+        se3_to_bev_se2(np.eye(4), (H, W), voxel)
+    )
+    Ainv = np.linalg.inv(A)
+    rr, cc = np.mgrid[0:H, 0:W].astype(np.float64)
+    src = np.einsum(
+        "ij,jhw->ihw", Ainv,
+        np.stack([rr, cc, np.ones_like(rr)]),
+    )
+    sr = np.round(src[0]).astype(np.int64)
+    sc = np.round(src[1]).astype(np.int64)
+    ok = (sr >= 0) & (sr < H) & (sc >= 0) & (sc < W)
+    out = np.zeros_like(mask, dtype=bool)
+    out[ok] = mask[sr[ok], sc[ok]]
+    return out
+
+
+def accumulated_fov_mask(
+    frustum: np.ndarray, rel_poses: np.ndarray, voxel: float
+) -> np.ndarray:
+    """Union of the frustum mask warped by each relative pose in the chain
+    (the accumulate loop of codapefree_dataloader.py:697-709; the reference
+    breaks after the first pose — pass a length-1 chain for that behaviour).
+    """
+    out = np.zeros_like(frustum, dtype=bool)
+    for pose in rel_poses:
+        out |= warp_bev_mask(frustum, pose, voxel)
+    return out
+
+
 def earliest_pose_in_fov(expert_xy: Array, fov_mask: Array) -> Array:
     """First expert pose (in time) that lies inside the FOV mask.
 

@@ -15,6 +15,9 @@ def main():
     ap.add_argument("--pca_dim", type=int, default=128)
     ap.add_argument("--out_hw", type=int, nargs=2, default=[128, 153])
     ap.add_argument("--extractor", default="auto")
+    ap.add_argument("--stride", type=int, default=7,
+                    help="dense ViT extraction stride (reference stride-7 "
+                         "PE interpolation, feature_extractor.py:236)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -22,7 +25,7 @@ def main():
 
     from creste_public_tpu.preprocessing import features as F
 
-    ext = F.build_extractor(args.extractor)
+    ext = F.build_extractor(args.extractor, stride=args.stride)
     # pass 1: extract + sample for PCA
     all_feats, frames = [], []
     for seq in args.seqs:

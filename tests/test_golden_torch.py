@@ -287,6 +287,7 @@ def test_supcon_golden():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_terrainnet_e2e_golden(tiny_cfg):
     cfg = tiny_cfg.to_dict()
     model = TerrainNet(cfg)
@@ -312,6 +313,7 @@ def test_terrainnet_e2e_golden(tiny_cfg):
         assert_close(out[key], tout[key], key, tol)
 
 
+@pytest.mark.slow
 def test_reward_e2e_golden(trav_cfg):
     """The deployed inference graph (compile.py): rgbd+p2p -> reward map.
     North star: <=1e-3 deviation (BASELINE.md)."""

@@ -10,6 +10,9 @@ from creste_public_tpu.losses import LossManager
 from creste_public_tpu.models.distillation import DistillationBackbone
 from creste_public_tpu.training import pipelines
 
+# full train-loop compiles: minutes on 1 CPU (VERDICT r1 weak #10)
+pytestmark = pytest.mark.slow
+
 
 def tiny_pefree_cfg():
     return presets.distillation_pefree_config(

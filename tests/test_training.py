@@ -10,6 +10,9 @@ from creste_public_tpu.data.synthetic import SyntheticCodaDataset, collate
 from creste_public_tpu.parallel import make_mesh, shard_batch
 from creste_public_tpu.training import pipelines
 
+# full train-loop compiles: minutes on 1 CPU (VERDICT r1 weak #10)
+pytestmark = pytest.mark.slow
+
 
 def tiny_batch(n=2):
     ds = SyntheticCodaDataset(
