@@ -16,7 +16,9 @@ from typing import Any
 
 class MetricLogger:
     def __init__(self, jsonl_path: str | None = None, stdout: bool = True,
-                 tensorboard_dir: str | None = None):
+                 tensorboard_dir: str | None = None,
+                 wandb_project: str | None = None,
+                 wandb_run_name: str | None = None):
         self.stdout = stdout
         self.jsonl_path = jsonl_path
         if jsonl_path:
@@ -30,6 +32,20 @@ class MetricLogger:
                 self._tb = SummaryWriter(tensorboard_dir)
             except Exception:
                 self._tb = None
+        # Optional W&B sink (train_ssc.py:323-332 dual-logger parity);
+        # wandb is not a dependency of this framework — the sink activates
+        # only when the package is importable in the environment.
+        self._wandb = None
+        if wandb_project:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=wandb_project, name=wandb_run_name,
+                    reinit=True,
+                )
+            except Exception:
+                self._wandb = None
 
     def log(self, metrics: dict[str, Any]) -> None:
         if self.jsonl_path:
@@ -47,6 +63,12 @@ class MetricLogger:
             for k, v in metrics.items():
                 if isinstance(v, (int, float)) and k not in ("step",):
                     self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(
+                {k: v for k, v in metrics.items()
+                 if isinstance(v, (int, float))},
+                step=int(metrics.get("step", 0)),
+            )
 
     def log_image(self, tag: str, image, step: int = 0) -> None:
         """HWC uint8/float image to TensorBoard (tb_utils.py:114 analog)."""
@@ -80,3 +102,5 @@ class MetricLogger:
     def close(self) -> None:
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()

@@ -149,6 +149,126 @@ def features_to_rgb(feats: Array) -> Array:
     return (rgb.reshape(H, W, 3) * 255).astype(np.uint8)
 
 
+def show_elevation_map(
+    elevation: Array, color_scale: str = "relative",
+    abs_range: tuple[float, float] = (-2.0, 8.0),
+) -> Array:
+    """[H, W] elevation -> TURBO-colorized uint8 RGB
+    (reference visualization.py:484-530; inf/nan cells zeroed).
+
+    color_scale 'relative' normalises to the current min/max; 'absolute'
+    clips to ``abs_range`` first.
+    """
+    e = np.asarray(elevation, np.float32).copy()
+    e[~np.isfinite(e)] = 0.0
+    if color_scale == "relative":
+        lo, hi = float(e.min()), float(e.max())
+    elif color_scale == "absolute":
+        lo, hi = abs_range
+        e = np.clip(e, lo, hi)
+    else:
+        raise ValueError(color_scale)
+    norm = (e - lo) / max(hi - lo, 1e-8)
+    return (_colormap("turbo")[np.clip(norm * 255, 0, 255).astype(np.uint8)])
+
+
+def visualize_elevation_3d(
+    elevation_pred: Array,
+    elevation_gt: Array | None = None,
+    fill_value: float = -0.8,
+    elev_deg: float = 55.0,
+    azim_deg: float = -90.0,
+) -> Array:
+    """3-D heightfield render of (pred[, gt]) elevation maps -> uint8 RGB.
+
+    Reference: visualize_elevation_3d_wrapper (visualization.py:811-880)
+    renders TURBO-colored heightfield meshes for pred and GT side by side;
+    this uses matplotlib's 3-D surface (vispy/open3d-free by design, like
+    utils/pointcloud_vis.py). Non-finite cells are filled with
+    ``fill_value`` (the reference's -0.8 floor).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    maps = [np.asarray(elevation_pred, np.float32)]
+    titles = ["Pred"]
+    if elevation_gt is not None:
+        maps.append(np.asarray(elevation_gt, np.float32))
+        titles.append("GT")
+    maps = [np.where(np.isfinite(m), m, fill_value) for m in maps]
+    lo = min(float(m.min()) for m in maps)
+    hi = max(float(m.max()) for m in maps)
+
+    fig = plt.figure(figsize=(4 * len(maps), 4), dpi=80)
+    for i, (m, title) in enumerate(zip(maps, titles)):
+        ax = fig.add_subplot(1, len(maps), i + 1, projection="3d")
+        H, W = m.shape
+        yy, xx = np.mgrid[0:H, 0:W]
+        norm = (m - lo) / max(hi - lo, 1e-8)
+        colors = _colormap("turbo")[
+            np.clip(norm * 255, 0, 255).astype(np.uint8)
+        ] / 255.0
+        ax.plot_surface(xx, yy, m, facecolors=colors, rstride=2, cstride=2,
+                        linewidth=0, antialiased=False, shade=False)
+        ax.set_zlim(lo, hi + 1e-3)
+        ax.view_init(elev=elev_deg, azim=azim_deg)
+        ax.set_title(title)
+        ax.set_axis_off()
+    fig.tight_layout()
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return buf
+
+
+def draw_bev_heatmap(
+    heatmap: Array, img: Array, cmap: str = "inferno", alpha: float = 0.6
+) -> Array:
+    """Blend a scalar BEV heatmap over an RGB image
+    (reference visualization.py:939-957)."""
+    base = np.asarray(img)
+    if base.ndim == 2:
+        base = np.stack([base] * 3, -1)
+    base = base.astype(np.float32)
+    if base.max() <= 1.0:
+        base = base * 255.0
+    hm = colorize_scalar(np.asarray(heatmap, np.float32), cmap=cmap)
+    out = (1 - alpha) * base + alpha * hm.astype(np.float32)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def visualize_dino_feature(rgb: Array, feats: Array) -> Array:
+    """RGB | PCA-RGB feature composite (visualization.py:1176-1221)."""
+    img = np.asarray(rgb)
+    if img.max() <= 1.0:
+        img = (img * 255).astype(np.uint8)
+    fr = features_to_rgb(np.asarray(feats))
+    if fr.shape[:2] != img.shape[:2]:
+        from PIL import Image
+
+        fr = np.asarray(Image.fromarray(fr).resize(
+            (img.shape[1], img.shape[0]), Image.BILINEAR))
+    return side_by_side(img.astype(np.uint8), fr)
+
+
+def save_preds_composite(
+    rgb: Array, depth: Array, reward: Array | None = None,
+    fov_mask: Array | None = None,
+) -> Array:
+    """Multi-panel input/prediction composite (save_preds_image,
+    visualization.py:69-111): RGB | colorized depth [| reward]."""
+    panels = [
+        (np.asarray(rgb) * 255).astype(np.uint8)
+        if np.asarray(rgb).max() <= 1.0 else np.asarray(rgb).astype(np.uint8),
+        colorize_depth(np.asarray(depth)),
+    ]
+    if reward is not None:
+        panels.append(visualize_reward(np.asarray(reward), fov_mask))
+    return side_by_side(*panels)
+
+
 def side_by_side(*images: Array, pad: int = 2) -> Array:
     """Horizontally concat images of equal height with a divider."""
     h = max(im.shape[0] for im in images)

@@ -16,6 +16,9 @@ def main():
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--latency", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="cast conv/dense weights to bfloat16 before export "
+                         "(runtime/precision.py; opt-in, not parity-exact)")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +50,11 @@ def main():
         raw = load_raw_checkpoint(args.ckpt)
         variables = {"params": raw.get("params", raw),
                      "batch_stats": raw.get("batch_stats", {})}
+
+    if args.bf16:
+        from creste_public_tpu.runtime.precision import cast_variables
+
+        variables = cast_variables(variables)
 
     fn, _ = build_inference_fn(cfg, variables)
     _, blob = export_inference_graph(fn, variables, rgbd, p2p, args.out)

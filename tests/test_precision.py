@@ -1,0 +1,53 @@
+"""bfloat16 inference-mode tests (VERDICT round-1 item #8)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from creste_public_tpu.config import presets
+from creste_public_tpu.models import MaxEntIRL
+from creste_public_tpu.runtime.precision import (
+    cast_variables,
+    max_abs_deviation,
+)
+
+
+def test_cast_keeps_bn_f32():
+    variables = {
+        "params": {
+            "conv": {"kernel": jnp.ones((3, 3, 4, 8)), "bias": jnp.ones(8)},
+            "bn": {"scale": jnp.ones(8), "bias": jnp.zeros(8)},
+        },
+        "batch_stats": {"bn": {"mean": jnp.zeros(8), "var": jnp.ones(8)}},
+    }
+    cast = cast_variables(variables)
+    assert cast["params"]["conv"]["kernel"].dtype == jnp.bfloat16
+    assert cast["params"]["conv"]["bias"].dtype == jnp.float32
+    assert cast["params"]["bn"]["scale"].dtype == jnp.float32
+    assert cast["batch_stats"]["bn"]["mean"].dtype == jnp.float32
+    assert cast["batch_stats"]["bn"]["var"].dtype == jnp.float32
+
+
+def test_bf16_reward_graph_runs_and_bounds_deviation():
+    """The deployed graph with bf16-cast weights stays finite and close to
+    f32 (loose bound on CPU; the bench prints the measured value on TPU)."""
+    cfg = presets.tiny_traversability_config().to_dict()
+    cfg["solve_mdp"] = False
+    model = MaxEntIRL(cfg)
+    h, w = cfg["vision_backbone"]["vision_backbone"]["effnet_cfgs"]["image_size"]
+    rng = np.random.default_rng(0)
+    rgbd = rng.uniform(0, 1, (1, 1, h, w, 4)).astype(np.float32)
+    rgbd[..., 3] *= 3000.0
+    p2p = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(rgbd), jnp.asarray(p2p))
+    out32 = model.apply(variables, jnp.asarray(rgbd), jnp.asarray(p2p))
+    out16 = model.apply(cast_variables(variables), jnp.asarray(rgbd),
+                        jnp.asarray(p2p))
+    r32 = np.asarray(out32["traversability_preds"], np.float32)
+    r16 = np.asarray(out16["traversability_preds"], np.float32)
+    assert np.isfinite(r16).all()
+    dev = max_abs_deviation(out32["traversability_preds"],
+                            out16["traversability_preds"])
+    scale = max(1.0, float(np.abs(r32).max()))
+    assert dev / scale < 0.1  # bf16 is approximate by design; bounded drift

@@ -103,3 +103,50 @@ def test_pointcloud_figure(tmp_path):
     mesh_path = str(tmp_path / "mesh.png")
     f.save(mesh_path)
     assert os.path.getsize(mesh_path) > 1000
+
+
+def test_show_elevation_map_modes():
+    import numpy as np
+
+    from creste_public_tpu.utils.visualization import show_elevation_map
+
+    e = np.random.default_rng(0).normal(size=(16, 16)).astype(np.float32)
+    e[0, 0] = np.inf
+    rel = show_elevation_map(e, "relative")
+    absm = show_elevation_map(e, "absolute")
+    assert rel.shape == (16, 16, 3) and rel.dtype == np.uint8
+    assert absm.shape == (16, 16, 3)
+
+
+def test_visualize_elevation_3d_render():
+    import numpy as np
+
+    from creste_public_tpu.utils.visualization import visualize_elevation_3d
+
+    pred = np.random.default_rng(0).normal(size=(24, 24)).astype(np.float32)
+    gt = pred + 0.1
+    gt[0, 0] = np.inf  # non-finite fill path
+    img = visualize_elevation_3d(pred, gt)
+    assert img.ndim == 3 and img.shape[-1] == 3 and img.dtype == np.uint8
+    assert img.std() > 0  # actually rendered something
+
+
+def test_bev_heatmap_and_dino_composites():
+    import numpy as np
+
+    from creste_public_tpu.utils.visualization import (
+        draw_bev_heatmap,
+        save_preds_composite,
+        visualize_dino_feature,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    hm = rng.uniform(0, 1, (16, 16)).astype(np.float32)
+    out = draw_bev_heatmap(hm, img)
+    assert out.shape == (16, 16, 3) and out.dtype == np.uint8
+    feats = rng.normal(size=(8, 8, 12)).astype(np.float32)
+    comp = visualize_dino_feature(img, feats)
+    assert comp.shape[0] == 16 and comp.shape[-1] == 3
+    full = save_preds_composite(img, hm * 10.0, reward=hm)
+    assert full.ndim == 3 and full.shape[-1] == 3
