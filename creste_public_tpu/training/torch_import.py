@@ -278,6 +278,8 @@ def _p(m: re.Match, template: str) -> tuple[str, ...]:
 
 
 def _bn(m: re.Match, base: str):
+    if m["leaf"] not in _BN_LEAF:  # num_batches_tracked etc.
+        return None
     coll, leaf = _BN_LEAF[m["leaf"]]
     return (coll, _p(m, base + "/" + leaf), t_id)
 

@@ -5,6 +5,11 @@ Usage:
   python scripts/preprocessing/build_dense_depth.py --root data/creste \
       --seqs 0 1 --scans 5 --proc LAIDW
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
 import argparse
 import os
 

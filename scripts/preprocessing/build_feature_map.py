@@ -11,6 +11,11 @@ Per-point labels come from `{label_dir}/{seq}/{frame}.bin` (uint32 ids,
 --label_source points) or are lifted from per-pixel `{frame}.npy` images
 through the calibrated projection (--label_source image).
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
 import argparse
 import os
 

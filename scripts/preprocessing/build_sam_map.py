@@ -12,6 +12,11 @@ the raw LiDAR scan through the calibrated projection, ground-plane removed,
 DBSCAN-ensemble clustered and instance-matched (reference :413-712)
 -> 3d_sam_dynamic/{seq}/{frame}.npy [grid, grid, 3].
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
 import argparse
 import os
 

@@ -1,5 +1,10 @@
 """CLI: DINOv2 distillation feature labels (reference: scripts/
 preprocessing/create_pe_dataset.py). Extractor -> jitted PCA -> .npy."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
 import argparse
 import glob
 import os

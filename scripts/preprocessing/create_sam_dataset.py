@@ -14,6 +14,11 @@ threshold blobs, keeping the downstream BEV pipeline runnable and the ids
 temporally consistent -> 2d_sam_dynamic/{cam}/{seq}/{frame}.npy
 [H, W, 2] uint16 (instance, class).
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
 import argparse
 import glob
 import os

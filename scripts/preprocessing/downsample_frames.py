@@ -1,5 +1,10 @@
 """CLI: 4x-downsampled depth copies for GT supervision (reference:
 scripts/preprocessing/downsample_frames.py)."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
 import argparse
 import glob
 import os

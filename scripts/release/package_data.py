@@ -1,6 +1,11 @@
 """CLI: mini-release packager (reference: scripts/release/package_data.py):
 collects windowed frames around counterfactual-annotated samples into a
 portable archive preserving the CODa layout."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
 import argparse
 import glob
 import os

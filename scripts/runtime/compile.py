@@ -5,6 +5,11 @@ Usage:
   python scripts/runtime/compile.py --out creste_rgbd_export.bin \
       [--ckpt ckpts/stage3] [--tiny]
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
 import argparse
 
 import numpy as np

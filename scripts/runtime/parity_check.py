@@ -14,6 +14,11 @@ Usage:
   python scripts/runtime/parity_check.py --ckpt creste_rgbd.ckpt \
       [--sample data_dict.pkl] [--expected ref_outputs.pkl] [--tiny]
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
 import argparse
 import pickle
 

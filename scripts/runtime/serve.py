@@ -12,6 +12,11 @@ Usage:
   # POST /infer body: rgbd float32 [1,1,H,W,4] bytes + header X-P2P (16 floats)
   # GET  /healthz -> {"status": "ok", "hz": ...}
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
 import argparse
 import json
 from http.server import BaseHTTPRequestHandler, HTTPServer

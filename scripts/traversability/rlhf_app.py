@@ -1,5 +1,10 @@
 """CLI: launch the counterfactual annotation web app (reference:
 scripts/traversability/rlhf/app.py, Flask on :4242)."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
 import argparse
 
 
