@@ -127,6 +127,10 @@ class CodaDataset:
         self.fov_horizon = int(cfg.get("fov_horizon", 1))
         self.use_movability = bool(cfg.get("use_movability", False))
         self.mv_label_dir = cfg.get("mv_label_dir", "2d_sam_dynamic")
+        self.load_point_cloud = bool(cfg.get("load_point_cloud", False))
+        self.points_per_scan = int(
+            cfg.get("points_per_scan", cc.OUSTER_POINTS)
+        )
         fov = geo.create_trapezoidal_fov_mask(
             self.grid, self.grid, top, bot, near, far
         )
@@ -348,6 +352,9 @@ class CodaDataset:
         }
         if self.use_movability:
             sample["mv_mask"] = self._immovable_depth_mask(seq, frame)[None]
+        if getattr(self, "load_point_cloud", False):
+            sample["point_cloud"] = self._load_point_cloud(seq, frame)
+            sample["immovable_label"] = self._load_immovable_label(seq, frame)
 
         sam = self._try(lambda: self._bev_npy(cc.SAM_LABEL_DIR, seq, frame))
         if sam is not None:
@@ -370,6 +377,9 @@ class CodaDataset:
             cc.SSC_LABEL_DIR, seq, frame, remap="sem"))
         if ssc is not None:
             sample["3d_ssc_label"] = ssc
+        fsc = self._try(lambda: self._load_fsc(seq, frame))
+        if fsc is not None:
+            sample["3d_fsc_label"] = fsc
         soc = self._try(lambda: self._load_count_bin(
             cc.SOC_LABEL_DIR, seq, frame, remap="obj"))
         if soc is not None:
@@ -397,6 +407,40 @@ class CodaDataset:
         elif remap == "obj":
             t = T.remap_and_sum_channels(t, T.OBJ_REMAP)
         return t
+
+    def _load_point_cloud(self, seq: str, frame: int) -> np.ndarray:
+        """[P, 3] xyz padded/truncated to a static ``points_per_scan``
+        (codapefree_dataloader.py:776-786; CODa scans are exactly
+        POINTS_PER_SCAN — padding only matters for synthetic trees)."""
+        from creste_public_tpu.preprocessing.depth import load_scan
+
+        pts = load_scan(self.root, seq, frame)[:, :3].astype(np.float32)
+        P = int(getattr(self, "points_per_scan", cc.OUSTER_POINTS))
+        out = np.zeros((P, 3), np.float32)
+        out[: min(P, len(pts))] = pts[:P]
+        return out
+
+    def _load_immovable_label(self, seq: str, frame: int) -> np.ndarray:
+        """[P, 1] bool per-point immovability from 3d_comp_movability bins
+        (codapefree_dataloader.py:766-774); missing file -> all static."""
+        P = int(getattr(self, "points_per_scan", cc.OUSTER_POINTS))
+        path = os.path.join(self.root, "3d_comp_movability", cc.DEFAULT_LIDAR,
+                            str(seq), f"{frame}.bin")
+        out = np.ones((P, 1), bool)
+        try:
+            m = np.fromfile(path, dtype=bool).reshape(-1, 1)
+            out[: min(P, len(m))] = m[:P]
+        except FileNotFoundError:
+            pass
+        return out
+
+    def _load_fsc(self, seq: str, frame: int) -> np.ndarray:
+        """FSC per-voxel GMP descriptor bins -> [g, g, F] float32
+        (codapefree_dataloader.py:650-654)."""
+        path = os.path.join(self.root, "3d_fsc", str(seq), f"{frame}.bin")
+        raw = np.fromfile(path, np.float32)
+        F = raw.size // (self.grid * self.grid)
+        return raw.reshape(self.grid, self.grid, F)
 
     def _getitem_multiview(self, seq: str, frame: int, idx: int) -> dict:
         """Anchor + (views-1) FOV-overlapping views, p2p chained into the

@@ -162,6 +162,58 @@ class SemanticPointMap:
         return scene[::-1, ::-1].copy()  # torch.flip(scene, [0, 1])
 
 
+def aggregate_descriptors(
+    cells: np.ndarray, descriptors: np.ndarray, dims: tuple[int, int],
+    aggregator: str = "GMP",
+) -> np.ndarray:
+    """Per-voxel descriptor aggregation (creste/utils/aggregator_utils.py:7):
+    GMP = per-cell max, GAP = per-cell mean; empty cells are zero.
+
+    cells: [N, 2] (row, col) voxel ids; descriptors: [N, F].
+    Returns [H, W, F] float32.
+    """
+    H, W = dims
+    N, F = descriptors.shape
+    flat = cells[:, 0] * W + cells[:, 1]
+    order = np.argsort(flat, kind="stable")
+    flat_s = flat[order]
+    desc_s = descriptors[order].astype(np.float32)
+    out = np.zeros((H * W, F), np.float32)
+    if N == 0:
+        return out.reshape(H, W, F)
+    starts = np.concatenate([[0], np.nonzero(np.diff(flat_s))[0] + 1])
+    ends = np.concatenate([starts[1:], [N]])
+    uniq = flat_s[starts]
+    if aggregator == "GMP":
+        red = np.maximum.reduceat(desc_s, starts, axis=0)
+    elif aggregator == "GAP":
+        red = np.add.reduceat(desc_s, starts, axis=0) / (
+            (ends - starts)[:, None]
+        )
+    else:
+        raise ValueError(f"Invalid aggregator {aggregator}")
+    out[uniq] = red
+    return out.reshape(H, W, F)
+
+
+def descriptor_scene_at_pose(
+    smap: SemanticPointMap, pose: np.ndarray, aggregator: str = "GMP"
+) -> np.ndarray:
+    """FSC label: per-voxel GMP/GAP descriptor map at a pose (the
+    num_classes==0 branch of get_scene_from_pose, build_feature_map.py:
+    336-345, + the bev_scene flip). The map's float labels are treated as
+    descriptors. Returns [H, W, F] float32, BEV-flipped.
+    """
+    local, labels = smap.crop_at_pose(pose)
+    Hg, Wg = smap.grid_dims
+    lo = np.asarray(smap.grid_range[:2], np.float32)
+    vox = np.floor((local[:, :2] - lo) / np.asarray(smap.voxel_size))
+    vox = np.clip(vox, 0, np.asarray([Hg - 1, Wg - 1])).astype(np.int64)
+    scene = aggregate_descriptors(vox, labels.astype(np.float32),
+                                  (Hg, Wg), aggregator)
+    return scene[::-1, ::-1].copy()
+
+
 def build_count_bins(
     root: str,
     seq: str,
@@ -230,6 +282,75 @@ def build_count_bins(
         def save_one(f: int) -> None:
             scene = smap.scene_at_pose(poses[f], num_classes)
             scene.astype(out_dtype).tofile(
+                os.path.join(out_dir, str(seq), f"{f}.bin"))
+
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(workers) as ex:
+                list(ex.map(save_one, todo))
+        else:
+            for f in todo:
+                save_one(f)
+        written += len(todo)
+    return written
+
+
+def build_descriptor_bins(
+    root: str,
+    seq: str,
+    feat_dir: str,
+    out_dir: str,
+    grid: int = 256,
+    map_range: float = 12.8,
+    window: int = 50,
+    chunk: int = 200,
+    ds: int = 4,
+    aggregator: str = "GMP",
+    frames: list[int] | None = None,
+    workers: int = 1,
+) -> int:
+    """FSC driver: per-pixel feature maps (create_pe_dataset output at
+    feature resolution H/ds x W/ds) lifted onto LiDAR points, accumulated,
+    and GMP-aggregated per voxel per pose (the reference's
+    `--tasks 3d_fsc --feat_type fimg_label` path). Writes float32
+    [grid, grid, F] `.bin` files `_load_fsc` can read
+    (codapefree_dataloader.py:650-654).
+    """
+    from creste_public_tpu.data.calib import load_calibration, load_poses
+    from creste_public_tpu.preprocessing.depth import load_scan
+
+    poses = load_poses(root, seq)
+    frames = list(range(len(poses))) if frames is None else list(frames)
+    voxel = 2.0 * map_range / grid
+    os.makedirs(os.path.join(out_dir, str(seq)), exist_ok=True)
+    calib = load_calibration(root, seq).scaled(1.0 / ds)
+    l2r = calib.lidar2camrect
+
+    written = 0
+    for c0 in range(frames[0], frames[-1] + 1, chunk):
+        c1 = min(c0 + chunk, frames[-1] + 1)
+        todo = [f for f in frames if c0 <= f < c1 and not os.path.exists(
+            os.path.join(out_dir, str(seq), f"{f}.bin"))]
+        if not todo:
+            continue
+        smap = SemanticPointMap(
+            (grid, grid), (voxel, voxel),
+            (-map_range, -map_range, map_range, map_range),
+        )
+        for f in range(max(0, c0 - window), c1):
+            pts = load_scan(root, seq, f)[:, :3]
+            fmap = np.load(os.path.join(root, feat_dir, str(seq),
+                                        f"{f}.npy"))
+            if fmap.ndim == 3 and fmap.shape[0] < fmap.shape[-1]:
+                fmap = np.moveaxis(fmap, 0, -1)
+            feats, mask = labels_from_image(pts, fmap, l2r)
+            smap.add_frame(pts[mask], feats[mask], poses[f],
+                           filter_labels=False)
+
+        def save_one(f: int) -> None:
+            scene = descriptor_scene_at_pose(smap, poses[f], aggregator)
+            scene.astype(np.float32).tofile(
                 os.path.join(out_dir, str(seq), f"{f}.bin"))
 
         if workers > 1:

@@ -86,12 +86,26 @@ def build_ssc(args, seq, task):
     print(f"seq {seq}: {n} {task} scenes at {os.path.join(args.root, task)}")
 
 
+def build_fsc(args, seq):
+    from creste_public_tpu.preprocessing.semantic_map import (
+        build_descriptor_bins,
+    )
+
+    n = build_descriptor_bins(
+        args.root, seq, args.feat_dir,
+        out_dir=os.path.join(args.root, "3d_fsc"),
+        grid=args.grid, map_range=args.map_range, window=args.window,
+        ds=args.ds, aggregator=args.aggregator, workers=args.workers,
+    )
+    print(f"seq {seq}: {n} 3d_fsc scenes")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True)
     ap.add_argument("--seqs", nargs="+", required=True)
     ap.add_argument("--tasks", nargs="+", default=["elevation"],
-                    choices=["elevation", "3d_ssc", "3d_soc"])
+                    choices=["elevation", "3d_ssc", "3d_soc", "3d_fsc"])
     ap.add_argument("--grid", type=int, default=256)
     ap.add_argument("--map_range", type=float, default=12.8)
     ap.add_argument("--scans", type=int, default=10,
@@ -102,6 +116,11 @@ def main():
     ap.add_argument("--obj_label_dir", default="3d_objects")
     ap.add_argument("--label_source", default="points",
                     choices=["points", "image"])
+    ap.add_argument("--feat_dir", default="distillation/cam0",
+                    help="3d_fsc: per-frame feature maps (create_pe_dataset)")
+    ap.add_argument("--ds", type=int, default=4,
+                    help="3d_fsc: feature-map downsample vs camera res")
+    ap.add_argument("--aggregator", default="GMP", choices=["GMP", "GAP"])
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 1)
     args = ap.parse_args()
 
@@ -109,6 +128,8 @@ def main():
         for task in args.tasks:
             if task == "elevation":
                 build_elevation(args, seq)
+            elif task == "3d_fsc":
+                build_fsc(args, seq)
             else:
                 build_ssc(args, seq, task)
 

@@ -214,3 +214,86 @@ def test_build_count_bins_image_source(ssc_tree):
     raw = np.fromfile(os.path.join(ssc_tree, "3d_ssc_img", "0", "0.bin"),
                       np.int64)
     assert raw.sum() > 0
+
+
+def test_aggregate_descriptors_gmp_gap():
+    from creste_public_tpu.preprocessing.semantic_map import (
+        aggregate_descriptors,
+    )
+
+    cells = np.array([[0, 0], [0, 0], [1, 2]])
+    desc = np.array([[1.0, -2.0], [3.0, -5.0], [7.0, 7.0]])
+    gmp = aggregate_descriptors(cells, desc, (2, 4), "GMP")
+    assert gmp.shape == (2, 4, 2)
+    np.testing.assert_allclose(gmp[0, 0], [3.0, -2.0])
+    np.testing.assert_allclose(gmp[1, 2], [7.0, 7.0])
+    assert gmp[1, 3].sum() == 0  # empty cell
+    gap = aggregate_descriptors(cells, desc, (2, 4), "GAP")
+    np.testing.assert_allclose(gap[0, 0], [2.0, -3.5])
+
+
+def test_descriptor_scene_at_pose_flip():
+    from creste_public_tpu.preprocessing.semantic_map import (
+        SemanticPointMap,
+        descriptor_scene_at_pose,
+    )
+
+    smap = SemanticPointMap((32, 32), (0.1, 0.1), (-1.6, -1.6, 1.6, 1.6))
+    pts = np.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    desc = np.array([[1.0, 4.0], [2.0, 3.0]], np.float32)
+    smap.add_frame(pts, desc, np.eye(4), filter_labels=False)
+    scene = descriptor_scene_at_pose(smap, np.eye(4), "GMP")
+    assert scene.shape == (32, 32, 2)
+    # same cell as the count test: flip -> (5, 15); GMP elementwise max
+    np.testing.assert_allclose(scene[5, 15], [2.0, 4.0])
+
+
+def test_build_descriptor_bins_roundtrip(ssc_tree):
+    """FSC: per-pixel features -> points -> GMP bins -> dataset loader."""
+    from creste_public_tpu.preprocessing.semantic_map import (
+        build_descriptor_bins,
+    )
+
+    feat_dir = os.path.join(ssc_tree, "distillation", "cam0", "0")
+    os.makedirs(feat_dir, exist_ok=True)
+    rng = np.random.default_rng(2)
+    # feature maps at ds=4 of the 64x80 camera -> 16x20
+    for fr in range(4):
+        np.save(os.path.join(feat_dir, f"{fr}.npy"),
+                rng.normal(size=(16, 20, 8)).astype(np.float32))
+    n = build_descriptor_bins(
+        ssc_tree, "0", "distillation/cam0",
+        out_dir=os.path.join(ssc_tree, "3d_fsc"),
+        grid=32, map_range=1.6, window=2, chunk=4, ds=4)
+    assert n == 4
+
+    from creste_public_tpu.data.coda_dataset import CodaDataset
+
+    ds = CodaDataset({"root": ssc_tree, "views": 1, "ds": 4, "grid": 32,
+                      "map_range": 1.6, "horizon": 2})
+    fsc = ds._load_fsc("0", 1)
+    assert fsc.shape == (32, 32, 8)
+    assert np.abs(fsc).sum() > 0
+
+
+def test_point_cloud_fload_keys(ssc_tree):
+    """point_cloud + immovable_label fload keys (codapefree_dataloader.py:
+    766-786) with static padding for collation."""
+    from creste_public_tpu.data.coda_dataset import CodaDataset
+
+    ds = CodaDataset({"root": ssc_tree, "views": 1, "ds": 4, "grid": 32,
+                      "map_range": 1.6, "horizon": 2,
+                      "load_point_cloud": True, "points_per_scan": 300})
+    pc = ds._load_point_cloud("0", 1)
+    mv = ds._load_immovable_label("0", 1)
+    assert pc.shape == (300, 3) and pc.dtype == np.float32
+    assert np.abs(pc[:256]).sum() > 0 and np.abs(pc[256:]).sum() == 0
+    assert mv.shape == (300, 1) and mv.dtype == bool and mv.all()
+    # movability bin present -> read back
+    mvdir = os.path.join(ssc_tree, "3d_comp_movability", cc.DEFAULT_LIDAR, "0")
+    os.makedirs(mvdir, exist_ok=True)
+    flags = np.zeros((256,), bool)
+    flags[:100] = True
+    flags.tofile(os.path.join(mvdir, "1.bin"))
+    mv2 = ds._load_immovable_label("0", 1)
+    assert mv2[:100].all() and not mv2[100:256].any() and mv2[256:].all()
