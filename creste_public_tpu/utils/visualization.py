@@ -269,6 +269,75 @@ def save_preds_composite(
     return side_by_side(*panels)
 
 
+def draw_sparse_depth_on_image(
+    rgb: Array, depth_m: Array, max_depth: float = 25.6, radius: int = 1
+) -> Array:
+    """Scatter colorized sparse-depth pixels over an RGB image
+    (visualization.py:163-198)."""
+    img = np.asarray(rgb)
+    img = ((img * 255) if img.max() <= 1.0 else img).astype(np.uint8).copy()
+    d = np.asarray(depth_m, np.float32)
+    colors = colorize_depth(d, max_depth)
+    ys, xs = np.nonzero(d > 0)
+    H, W = d.shape
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            yy = np.clip(ys + dy, 0, H - 1)
+            xx = np.clip(xs + dx, 0, W - 1)
+            img[yy, xx] = colors[ys, xs]
+    return img
+
+
+def show_bev_map(
+    bev_features: Array, bev_densities: Array | None = None
+) -> Array:
+    """BEV feature-map inspection panel: PCA-RGB features | density
+    (reference show_bev_map, visualization.py:228-307)."""
+    feats = np.asarray(bev_features)
+    if feats.ndim == 4:
+        feats = feats[0]
+    panels = [features_to_rgb(feats)]
+    if bev_densities is not None:
+        dens = np.asarray(bev_densities)
+        while dens.ndim > 2:
+            dens = dens[0] if dens.shape[0] <= 4 else dens[..., 0]
+        panels.append(colorize_scalar(dens, cmap="magma"))
+    return side_by_side(*panels)
+
+
+def visualize_action_label(
+    pred_actions: Array, gt_actions: Array
+) -> Array:
+    """Per-step predicted-vs-expert action distribution strips
+    (visualization.py:1124-1174): [T, A] each -> stacked heat rows."""
+    p = np.asarray(pred_actions, np.float32)
+    g = np.asarray(gt_actions, np.float32)
+    rows = []
+    for m in (p, g):
+        m = (m - m.min()) / max(float(m.max() - m.min()), 1e-8)
+        img = _colormap("viridis")[np.clip(m * 255, 0, 255).astype(np.uint8)]
+        rows.append(np.repeat(np.repeat(img, 8, 0), 8, 1))
+    sep = np.full((4, rows[0].shape[1], 3), 255, np.uint8)
+    return np.concatenate([rows[0], sep, rows[1]], axis=0)
+
+
+def visualize_rgbd_bev(
+    rgbd: Array, xyz: Array, map_range: float = 12.8, grid: int = 256
+) -> Array:
+    """Top-down scatter of backprojected RGBD points colored by RGB
+    (reference visualize_rgbd_bev, visualization.py:577-667)."""
+    img = np.asarray(rgbd)[..., :3].reshape(-1, 3)
+    pts = np.asarray(xyz).reshape(-1, 3)
+    voxel = 2 * map_range / grid
+    r = ((map_range - pts[:, 0]) / voxel).astype(np.int64)
+    c = ((map_range - pts[:, 1]) / voxel).astype(np.int64)
+    ok = (r >= 0) & (r < grid) & (c >= 0) & (c < grid)
+    out = np.zeros((grid, grid, 3), np.uint8)
+    colors = ((img * 255) if img.max() <= 1.0 else img).astype(np.uint8)
+    out[r[ok], c[ok]] = colors[ok]
+    return out
+
+
 def side_by_side(*images: Array, pad: int = 2) -> Array:
     """Horizontally concat images of equal height with a divider."""
     h = max(im.shape[0] for im in images)

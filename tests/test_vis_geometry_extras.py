@@ -150,3 +150,35 @@ def test_bev_heatmap_and_dino_composites():
     assert comp.shape[0] == 16 and comp.shape[-1] == 3
     full = save_preds_composite(img, hm * 10.0, reward=hm)
     assert full.ndim == 3 and full.shape[-1] == 3
+
+
+def test_sparse_depth_and_bev_map_panels():
+    import numpy as np
+
+    from creste_public_tpu.utils.visualization import (
+        draw_sparse_depth_on_image,
+        show_bev_map,
+        visualize_action_label,
+        visualize_rgbd_bev,
+    )
+
+    rng = np.random.default_rng(0)
+    rgb = rng.uniform(0, 1, (16, 20, 3)).astype(np.float32)
+    depth = np.zeros((16, 20), np.float32)
+    depth[8, 10] = 5.0
+    out = draw_sparse_depth_on_image(rgb, depth)
+    assert out.shape == (16, 20, 3) and out.dtype == np.uint8
+    assert (out[8, 10] != (rgb[8, 10] * 255).astype(np.uint8)).any()
+
+    feats = rng.normal(size=(8, 8, 16)).astype(np.float32)
+    dens = rng.uniform(0, 3, (8, 8)).astype(np.float32)
+    panel = show_bev_map(feats, dens)
+    assert panel.shape[0] == 8 and panel.shape[-1] == 3
+
+    act = visualize_action_label(rng.uniform(0, 1, (10, 8)),
+                                 rng.uniform(0, 1, (10, 8)))
+    assert act.ndim == 3 and act.shape[-1] == 3
+
+    xyz = rng.uniform(-10, 10, (16, 20, 3)).astype(np.float32)
+    bev = visualize_rgbd_bev(rgb, xyz, map_range=12.8, grid=64)
+    assert bev.shape == (64, 64, 3) and bev.sum() > 0
