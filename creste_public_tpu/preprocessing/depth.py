@@ -104,20 +104,27 @@ def build_sequence_depth(
     cam: str = cc.DEFAULT_CAM,
     out_root: str | None = None,
     skip_existing: bool = True,
+    workers: int = 1,
 ) -> list[str]:
-    """Generate depth labels for a sequence; returns written paths."""
+    """Generate depth labels for a sequence; returns written paths.
+
+    ``workers`` > 1 processes frames on a thread pool — the scan loads are
+    I/O and the jitted projection releases the GIL during device compute
+    (the host-parallel equivalent of the reference's Pool(24),
+    build_dense_depth.py:574).
+    """
     out_root = out_root or root
     calib = load_calibration(root, seq, cam)
     poses = load_poses(root, seq)
     out_dir = os.path.join(
         out_root, depth_label_dirname(scans, proc), cam, str(seq)
     )
-    written = []
     half = scans // 2
-    for frame in frames:
+
+    def one(frame: int) -> str | None:
         out_path = os.path.join(out_dir, f"{frame}.png")
         if skip_existing and os.path.exists(out_path):
-            continue
+            return None
         ids = np.clip(np.arange(frame - half, frame - half + scans), 0,
                       len(poses) - 1)
         scans_xyz = [load_scan(root, seq, int(i)) for i in ids]
@@ -131,5 +138,13 @@ def build_sequence_depth(
             proc=proc, bottom_scans_xyz=bottom_xyz, bottom_poses=bottom_poses,
         )
         save_depth_png(out_path, depth)
-        written.append(out_path)
-    return written
+        return out_path
+
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(workers) as ex:
+            results = list(ex.map(one, frames))
+    else:
+        results = [one(f) for f in frames]
+    return [r for r in results if r is not None]

@@ -82,9 +82,36 @@ def make_loss_closure(
     """loss_and_updates(params, batch_stats, batch, rng, axis_name) ->
     (total, (new_batch_stats, metrics)) for data_parallel_train_step."""
 
+    # Opt-in mixed-precision compute (model cfg `compute_dtype: bfloat16`):
+    # master params stay f32 in the optimizer; the forward runs with
+    # bf16-cast weights + inputs (BN stats/affine stay f32 via
+    # runtime.precision), outputs and the whole loss stack are cast back to
+    # f32 so reductions/logsumexp keep full precision. Grad of an f32
+    # master param through the cast is f32 (the cast VJP casts back).
+    mcfg = getattr(model, "cfg", None)
+    compute_dtype = None
+    if isinstance(mcfg, dict) and mcfg.get("compute_dtype"):
+        compute_dtype = jnp.dtype(mcfg["compute_dtype"])
+
+    def _cast_float(tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
+
     def loss_and_updates(params, batch_stats, batch, rng, axis_name=None):
         variables = {"params": params, "batch_stats": batch_stats}
         args = model_inputs(stage, batch)
+        if compute_dtype is not None:
+            from creste_public_tpu.runtime.precision import cast_variables
+
+            variables = cast_variables(variables, compute_dtype)
+            args = tuple(
+                _cast_float(a, compute_dtype) if a is not None else None
+                for a in args
+            )
         outputs, mutated = model.apply(
             variables,
             *args,
@@ -92,6 +119,10 @@ def make_loss_closure(
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
+        if compute_dtype is not None:
+            outputs = _cast_float(outputs, jnp.float32)
+            mutated = {"batch_stats": _cast_float(
+                mutated["batch_stats"], jnp.float32)}
         td = merge_tensor_dict(batch, outputs, task)
         aux = {"rng": rng, "axis_name": axis_name}
         if stage == "traversability":

@@ -1,0 +1,106 @@
+"""Inference-graph stage breakdown on the real chip.
+
+Times the deployed reward graph cumulatively by stage so optimization
+effort lands where the microseconds are:
+
+  backbone : EffNet-b0 + depth head + dino head (DistillationBackbone)
+  +splat   : + Camera2MapMulti scatter to the 256x256 BEV grid
+  +decoder : + ResNet18 multi-head BEV decoder   (= full TerrainNet)
+  full     : + VIN reward head                   (= deployment graph)
+
+Also reports batched throughput (samples/s at --batch) — the serving
+sweet spot differs from the batch-1 latency headline.
+
+Usage: python scripts/benchmarks/inference_breakdown.py [--iters 50]
+       [--batch 8]
+"""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
+import argparse
+import time
+
+import numpy as np
+
+
+def p50_ms(jfn, args, iters):
+    import jax
+
+    out = jfn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = jfn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.percentile(times, 50)) * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    from __graft_entry__ import _example_inputs, entry
+    from creste_public_tpu.config import presets
+    from creste_public_tpu.config.config import Config
+    from creste_public_tpu.models.lfd import MaxEntIRL
+    from creste_public_tpu.models.terrainnet import TerrainNet
+
+    cfg = presets.traversability_model_config()
+    cfg["solve_mdp"] = False
+    model = MaxEntIRL(cfg.to_dict())
+    terrain_cfg = cfg["vision_backbone"]
+    rgbd, p2p = _example_inputs(Config(terrain_cfg))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, rgbd, p2p)
+
+    tnet = TerrainNet(terrain_cfg)
+    tvars = {"params": variables["params"]["backbone"],
+             "batch_stats": variables.get("batch_stats", {}).get(
+                 "backbone", {})}
+
+    def backbone_only(v, r, p):
+        import jax.numpy as jnp
+
+        from creste_public_tpu.models.distillation import DistillationBackbone
+
+        m = DistillationBackbone(terrain_cfg)
+        dv = {"params": v["params"]["depthcomp"],
+              "batch_stats": v["batch_stats"].get("depthcomp", {})}
+        return m.apply(dv, r, p, train=False)["depth_preds_metric"]
+
+    def terrain_full(v, r, p):
+        return TerrainNet(terrain_cfg).apply(
+            v, r, p, None, False)["inpainting_sam_preds"]
+
+    fn, _ = entry()
+
+    rows = []
+    rows.append(("backbone (EffNet+heads)",
+                 p50_ms(jax.jit(backbone_only), (tvars, rgbd, p2p),
+                        args.iters)))
+    rows.append(("full TerrainNet (+splat+decoder)",
+                 p50_ms(jax.jit(terrain_full), (tvars, rgbd, p2p),
+                        args.iters)))
+    rows.append(("deployment graph (+VIN reward)",
+                 p50_ms(jax.jit(fn), (variables, rgbd, p2p), args.iters)))
+
+    for name, ms in rows:
+        print(f"{name:36s}: {ms:7.3f} ms p50  ({1000.0 / ms:7.1f} Hz)")
+
+    if args.batch > 1:
+        rgbd_b, p2p_b = _example_inputs(Config(terrain_cfg), B=args.batch)
+        ms = p50_ms(jax.jit(fn), (variables, rgbd_b, p2p_b), args.iters)
+        print(f"batch={args.batch:2d} deployment graph         : "
+              f"{ms:7.3f} ms p50  ({args.batch * 1000.0 / ms:7.1f} "
+              f"samples/s)")
+
+
+if __name__ == "__main__":
+    main()

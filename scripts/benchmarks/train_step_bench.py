@@ -1,0 +1,77 @@
+"""Stage-2 training-step benchmark at production shapes.
+
+Measures the full SPMD train step (TerrainNet forward at 512x612, full
+stage-2 loss stack incl. SupCon, backward, psum grads, optimizer update)
+at a given batch size on the real chip, optionally with bf16 compute
+(`model.compute_dtype=bfloat16`).
+
+Usage: python scripts/benchmarks/train_step_bench.py [--batch 16]
+       [--iters 20] [--dtype float32|bfloat16]
+"""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from creste_public_tpu.config import presets
+    from creste_public_tpu.data.synthetic import SyntheticCodaDataset, collate
+    from creste_public_tpu.training import pipelines
+    from creste_public_tpu.parallel.mesh import make_mesh, shard_batch
+
+    cfg = presets.terrainnet_model_config()
+    if args.dtype != "float32":
+        cfg["compute_dtype"] = args.dtype
+    cfg["batch_size"] = args.batch
+
+    ds = SyntheticCodaDataset(length=args.batch)
+    batch = collate([ds[i] for i in range(args.batch)])
+    batch = {k: v for k, v in batch.items()
+             if k not in ("counterfactuals_label",)}
+
+    mesh = make_mesh()
+    model, lm, state, tx = pipelines.init_stage(
+        "ssc", cfg, jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch),
+        steps_per_epoch=100,
+    )
+    step = pipelines.make_train_step("ssc", model, lm, tx, mesh,
+                                     task="joint", donate=False)
+
+    sb = shard_batch(batch, mesh)
+    rng = jax.random.PRNGKey(0)
+    state2, metrics = step(state, sb, rng)
+    jax.block_until_ready((state2, metrics))
+    print("step-1 loss:", float(metrics["loss"]),
+          "grad_norm:", float(metrics["grad_norm"]))
+
+    times = []
+    cur = state
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        cur, metrics = step(cur, sb, jax.random.fold_in(rng, i))
+        jax.block_until_ready((cur, metrics))
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(times, 50)) * 1e3
+    print("final loss:", float(metrics["loss"]))
+    print(f"stage-2 train step dtype={args.dtype} batch={args.batch}: "
+          f"{p50:.1f} ms p50 -> {args.batch * 1000.0 / p50:.1f} samples/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--proc", choices=["LA", "LAIDW"], default="LA")
     ap.add_argument("--cam", default="cam0")
     ap.add_argument("--out_root", default=None)
+    ap.add_argument("--workers", type=int, default=os.cpu_count() or 1)
     args = ap.parse_args()
 
     from creste_public_tpu.data.calib import load_poses
@@ -32,7 +33,7 @@ def main():
         frames = range(len(poses))
         written = build_sequence_depth(
             args.root, seq, frames, scans=args.scans, proc=args.proc,
-            cam=args.cam, out_root=args.out_root,
+            cam=args.cam, out_root=args.out_root, workers=args.workers,
         )
         print(f"seq {seq}: wrote {len(written)} depth maps")
 

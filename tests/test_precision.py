@@ -51,3 +51,35 @@ def test_bf16_reward_graph_runs_and_bounds_deviation():
                             out16["traversability_preds"])
     scale = max(1.0, float(np.abs(r32).max()))
     assert dev / scale < 0.1  # bf16 is approximate by design; bounded drift
+
+
+def test_bf16_compute_training_step():
+    """`compute_dtype: bfloat16` trains: f32 master params, bf16 forward,
+    f32 losses/batch-stats, finite grads (pipelines.make_loss_closure)."""
+    import jax.tree_util as jtu
+
+    from creste_public_tpu.data.synthetic import SyntheticCodaDataset, collate
+    from creste_public_tpu.parallel.mesh import make_mesh, shard_batch
+    from creste_public_tpu.training import pipelines
+
+    cfg = presets.tiny_terrainnet_config()
+    cfg["compute_dtype"] = "bfloat16"
+    ds = SyntheticCodaDataset(cfg={"image_size": [64, 80], "grid": 32,
+                                   "map_range": 1.6, "fdn_dim": 16,
+                                   "length": 2})
+    batch = collate([ds[0], ds[1]])
+    batch = {k: v for k, v in batch.items() if k != "counterfactuals_label"}
+    mesh = make_mesh(1)
+    model, lm, state, tx = pipelines.init_stage(
+        "ssc", cfg, jtu.tree_map(lambda x: np.asarray(x)[:1], batch),
+        steps_per_epoch=10)
+    step = pipelines.make_train_step("ssc", model, lm, tx, mesh,
+                                     task="joint", donate=False)
+    state2, metrics = step(state, shard_batch(batch, mesh),
+                           jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # master params and batch stats stay f32
+    for leaf in jax.tree_util.tree_leaves(state2.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state2.batch_stats):
+        assert leaf.dtype == jnp.float32
