@@ -13,7 +13,7 @@ data-dependent sampling becomes a static sample budget (losses/supcon.py).
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

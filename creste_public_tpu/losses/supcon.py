@@ -20,8 +20,6 @@ pjit/shard_map with that axis present.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -12,7 +12,6 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from creste_public_tpu.models.blocks.convnets import batch_norm
 from creste_public_tpu.models.blocks.effnet import Up

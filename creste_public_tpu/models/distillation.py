@@ -11,7 +11,6 @@ from typing import Any
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from creste_public_tpu.models.blocks.convnets import MultiLayerConv, batch_norm
 from creste_public_tpu.models.blocks.splat import Camera2MapMulti

@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from creste_public_tpu.models.blocks.resnet import InpaintingResNet18MultiHead
 from creste_public_tpu.models.blocks.splat import Camera2MapMulti

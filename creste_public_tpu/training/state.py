@@ -18,7 +18,6 @@ equivalent implemented here:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax

@@ -17,7 +17,7 @@ bijectively without the released weights (zero-egress environment).
 from __future__ import annotations
 
 import re
-from typing import Any, Callable
+from typing import Callable
 
 import numpy as np
 

@@ -338,6 +338,72 @@ def visualize_rgbd_bev(
     return out
 
 
+def numpy_to_pcd(points: Array, path: str) -> None:
+    """Write an ASCII .pcd point cloud (reference numpy_to_pcd,
+    visualization.py:200-226) — viewable in any PCL/CloudCompare tool."""
+    pts = np.asarray(points, np.float32).reshape(-1, 3)
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+        "COUNT 1 1 1\n"
+        f"WIDTH {len(pts)}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+        f"POINTS {len(pts)}\nDATA ascii\n"
+    )
+    with open(path, "w") as f:
+        f.write(header)
+        np.savetxt(f, pts, fmt="%.6f")
+
+
+def show_masks_on_image(
+    img: Array, labels: Array, alpha: float = 0.5, seed: int = 0
+) -> Array:
+    """Blend per-pixel instance labels over an RGB image
+    (reference show_masks_on_image, visualization.py:1272-1302)."""
+    base = np.asarray(img)
+    base = ((base * 255) if base.max() <= 1.0 else base).astype(np.float32)
+    lab = np.asarray(labels).astype(np.int64)
+    cmap = instance_cmap(int(lab.max()) + 1, seed)
+    overlay = cmap[lab].astype(np.float32)
+    keep = (lab == 0)[..., None]
+    out = np.where(keep, base, (1 - alpha) * base + alpha * overlay)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def draw_bev_bbox(
+    img: Array, bbox: tuple[int, int, int, int],
+    color: tuple[int, int, int] = (255, 0, 0), thickness: int = 1,
+) -> Array:
+    """Draw an axis-aligned box (r0, c0, r1, c1) on a BEV image
+    (reference draw_bev_bbox, visualization.py:960-984)."""
+    out = np.asarray(img).astype(np.uint8).copy()
+    r0, c0, r1, c1 = [int(v) for v in bbox]
+    H, W = out.shape[:2]
+    r0, r1 = np.clip([r0, r1], 0, H - 1)
+    c0, c1 = np.clip([c0, c1], 0, W - 1)
+    for t in range(thickness):
+        out[np.clip(r0 + t, 0, H - 1), c0:c1 + 1] = color
+        out[np.clip(r1 - t, 0, H - 1), c0:c1 + 1] = color
+        out[r0:r1 + 1, np.clip(c0 + t, 0, W - 1)] = color
+        out[r0:r1 + 1, np.clip(c1 - t, 0, W - 1)] = color
+    return out
+
+
+def draw_text_on_image(
+    img: Array, text: str, location: tuple[int, int] = (10, 15),
+    color: tuple[int, int, int] = (255, 255, 255),
+) -> Array:
+    """Rasterize a small text label onto an image (reference
+    draw_text_on_image, visualization.py:883-904; PIL replaces cv2)."""
+    from PIL import Image, ImageDraw
+
+    base = np.asarray(img)
+    base = ((base * 255) if base.max() <= 1.0 else base).astype(np.uint8)
+    pil = Image.fromarray(base)
+    ImageDraw.Draw(pil).text((location[0], location[1] - 10), text,
+                             fill=tuple(color))
+    return np.asarray(pil)
+
+
 def side_by_side(*images: Array, pad: int = 2) -> Array:
     """Horizontally concat images of equal height with a divider."""
     h = max(im.shape[0] for im in images)

@@ -28,7 +28,6 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     from creste_public_tpu.config import presets
     from creste_public_tpu.data.synthetic import SyntheticCodaDataset, collate

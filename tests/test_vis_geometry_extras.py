@@ -182,3 +182,36 @@ def test_sparse_depth_and_bev_map_panels():
     xyz = rng.uniform(-10, 10, (16, 20, 3)).astype(np.float32)
     bev = visualize_rgbd_bev(rgb, xyz, map_range=12.8, grid=64)
     assert bev.shape == (64, 64, 3) and bev.sum() > 0
+
+
+def test_pcd_masks_bbox_text(tmp_path):
+    import numpy as np
+
+    from creste_public_tpu.utils.visualization import (
+        draw_bev_bbox,
+        draw_text_on_image,
+        numpy_to_pcd,
+        show_masks_on_image,
+    )
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(20, 3)).astype(np.float32)
+    path = str(tmp_path / "cloud.pcd")
+    numpy_to_pcd(pts, path)
+    text = open(path).read()
+    assert "POINTS 20" in text and text.count("\n") >= 30
+
+    img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    lab = np.zeros((16, 16), np.int64)
+    lab[4:8, 4:8] = 2
+    over = show_masks_on_image(img, lab)
+    assert over.dtype == np.uint8
+    base = (img * 255).astype(np.uint8)
+    assert (over[5, 5] != base[5, 5]).any()      # blended inside the mask
+    assert (over[0, 0] == base[0, 0]).all()      # untouched outside
+
+    boxed = draw_bev_bbox(base, (2, 2, 10, 10), (255, 0, 0))
+    assert (boxed[2, 5] == [255, 0, 0]).all()
+
+    txt = draw_text_on_image(base, "GT")
+    assert txt.shape == base.shape and (txt != base).any()
