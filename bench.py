@@ -4,34 +4,30 @@ Reference baseline: 20 Hz end-to-end on a laptop GPU (README.md:18); the
 north-star for this build is >=100 Hz/chip on TPU v5e (BASELINE.json).
 Runs the deployment graph (MaxEntIRL with solve_mdp=False — the same graph
 the reference exports via torch.jit.trace, compile.py:170-210) at the
-production shape [1, 1, 4, 512, 612] and reports p50 latency-derived Hz.
+production shape [1, 1, 4, 512, 612].
+
+Measurement methodology (IMPORTANT): the axon tunnel runtime memoizes
+(program, arguments) executions, so naive timing loops over identical
+inputs report cache hits, not compute (round-1's 1064 Hz headline was this
+artifact). The honest metric here is ON-CHIP SERIALIZED latency: the model
+is run inside lax.scan with an output-feedback input perturbation (each
+iteration depends on the previous output, so nothing can be deduped,
+reordered, or pipelined), on a FRESH device-resident input per timed call;
+per-frame latency = (T_scan(N) - T_scan(1)) / (N - 1), which also cancels
+the per-call tunnel/RPC overhead (~30-45 ms here, irrelevant to real
+robot deployment where the host is directly attached).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Hz", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "Hz", "vs_baseline": N, ...}
 """
 from __future__ import annotations
 
 import argparse
 import json
-import time
 
-import numpy as np
+from creste_public_tpu.runtime.benchmark import serialized_latency
 
 BASELINE_HZ = 20.0  # reference: 20 Hz on a laptop GPU (README.md:18)
-
-
-def measure_hz(jfn, *args, iters: int = 50) -> float:
-    import jax
-
-    out = jfn(*args)  # warmup + compile
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = jfn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return 1.0 / float(np.percentile(times, 50))
 
 
 def main() -> None:
@@ -47,14 +43,19 @@ def main() -> None:
     from __graft_entry__ import entry
 
     fn, (variables, rgbd, p2p) = entry()
-    jfn = jax.jit(fn)
-    hz = measure_hz(jfn, variables, rgbd, p2p)
+    per_frame, single_call = serialized_latency(
+        fn, variables, rgbd, p2p, "traversability_preds"
+    )
+    hz = 1.0 / per_frame
 
     line = {
-        "metric": "single-frame RGBD->BEV reward inference rate",
+        "metric": "single-frame RGBD->BEV reward inference rate "
+                  "(on-chip serialized)",
         "value": round(hz, 2),
         "unit": "Hz",
         "vs_baseline": round(hz / BASELINE_HZ, 3),
+        "per_frame_ms": round(per_frame * 1e3, 3),
+        "tunnel_call_ms": round(single_call * 1e3, 2),
     }
 
     if args.bf16:
@@ -65,16 +66,13 @@ def main() -> None:
 
         out_f32 = jax.jit(fn)(variables, rgbd, p2p)
         vb = cast_variables(variables)
-        hz_bf16 = measure_hz(jfn, vb, rgbd, p2p)
-        out_bf16 = jfn(vb, rgbd, p2p)
-        key = ("traversability_preds"
-               if isinstance(out_f32, dict)
-               and "traversability_preds" in out_f32 else None)
-        dev = max_abs_deviation(
-            out_f32[key] if key else out_f32,
-            out_bf16[key] if key else out_bf16,
+        per_bf16, _ = serialized_latency(
+            fn, vb, rgbd, p2p, "traversability_preds"
         )
-        line["bf16_hz"] = round(hz_bf16, 2)
+        out_bf16 = jax.jit(fn)(vb, rgbd, p2p)
+        dev = max_abs_deviation(out_f32["traversability_preds"],
+                                out_bf16["traversability_preds"])
+        line["bf16_hz"] = round(1.0 / per_bf16, 2)
         line["bf16_reward_max_dev"] = round(dev, 6)
 
     print(json.dumps(line))

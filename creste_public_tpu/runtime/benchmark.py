@@ -1,0 +1,80 @@
+"""Artifact-proof latency measurement for tunnel-attached TPUs.
+
+The axon tunnel runtime memoizes (program, arguments) executions: naive
+timing loops over identical inputs measure cache hits (sub-ms "latencies"
+for multi-ms graphs). The scan-difference method here is immune:
+
+  * the model runs inside lax.scan with an output-feedback input
+    perturbation — iteration i+1 depends on iteration i's output, so
+    executions cannot be deduped, reordered, or pipelined;
+  * every timed call gets a FRESH device-resident input;
+  * per-frame latency = (T_scan(N) - T_scan(1)) / (N - 1), cancelling the
+    per-call tunnel/RPC overhead (tens of ms over the tunnel; not present
+    in real host-attached deployment).
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable
+
+import numpy as np
+
+
+def serialized_latency(
+    fn: Callable,
+    variables,
+    rgbd,
+    p2p,
+    out_key: str,
+    n_long: int = 50,
+    repeats: int = 5,
+    perturb_slice=(Ellipsis, slice(0, 3)),
+) -> tuple[float, float]:
+    """On-chip serialized per-frame latency of ``fn(variables, rgbd, p2p)``.
+
+    Returns (per_frame_seconds, single_call_seconds). ``out_key`` selects
+    the output tensor used for the feedback perturbation.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("n",))
+    def loop_fn(variables, rgbd, p2p, n):
+        def body(carry, _):
+            r, acc = carry
+            out = fn(variables, r, p2p)
+            tp = out[out_key] if isinstance(out, dict) else out
+            return (r + tp.mean() * 1e-12, acc + tp.sum()), None
+
+        (_, acc), _ = jax.lax.scan(
+            body, (rgbd, jnp.float32(0)), None, length=n
+        )
+        return acc
+
+    rng = np.random.default_rng(0)
+    base = np.asarray(rgbd)
+
+    def fresh():
+        r = base.copy()
+        r[perturb_slice] = rng.uniform(
+            0, 1, r[perturb_slice].shape
+        ).astype(r.dtype)
+        d = jax.device_put(jnp.asarray(r))
+        jax.block_until_ready(d)
+        return d
+
+    medians = {}
+    for n in (1, n_long):
+        acc = loop_fn(variables, fresh(), p2p, n)  # compile
+        jax.block_until_ready(acc)
+        ts = []
+        for _ in range(repeats):
+            x = fresh()
+            t0 = time.perf_counter()
+            acc = loop_fn(variables, x, p2p, n)
+            jax.block_until_ready(acc)
+            ts.append(time.perf_counter() - t0)
+        medians[n] = float(np.median(ts))
+    per_frame = (medians[n_long] - medians[1]) / (n_long - 1)
+    return per_frame, medians[1]

@@ -20,23 +20,18 @@ import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
     _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
 import argparse
-import time
 
 import numpy as np
 
+from creste_public_tpu.runtime.benchmark import serialized_latency
 
-def p50_ms(jfn, args, iters):
-    import jax
 
-    out = jfn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = jfn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.percentile(times, 50)) * 1e3
+def stage_ms(fn, variables, rgbd, p2p, out_key):
+    """On-chip serialized per-frame ms (see runtime/benchmark.py — naive
+    identical-input loops are deduped by the tunnel runtime)."""
+    per, _ = serialized_latency(fn, variables, rgbd, p2p, out_key,
+                                n_long=30, repeats=3)
+    return per * 1e3
 
 
 def main():
@@ -83,22 +78,21 @@ def main():
 
     rows = []
     rows.append(("backbone (EffNet+heads)",
-                 p50_ms(jax.jit(backbone_only), (tvars, rgbd, p2p),
-                        args.iters)))
+                 stage_ms(backbone_only, tvars, rgbd, p2p, None)))
     rows.append(("full TerrainNet (+splat+decoder)",
-                 p50_ms(jax.jit(terrain_full), (tvars, rgbd, p2p),
-                        args.iters)))
+                 stage_ms(terrain_full, tvars, rgbd, p2p, None)))
     rows.append(("deployment graph (+VIN reward)",
-                 p50_ms(jax.jit(fn), (variables, rgbd, p2p), args.iters)))
+                 stage_ms(fn, variables, rgbd, p2p,
+                          "traversability_preds")))
 
     for name, ms in rows:
-        print(f"{name:36s}: {ms:7.3f} ms p50  ({1000.0 / ms:7.1f} Hz)")
+        print(f"{name:36s}: {ms:7.3f} ms/frame  ({1000.0 / ms:7.1f} Hz)")
 
     if args.batch > 1:
         rgbd_b, p2p_b = _example_inputs(Config(terrain_cfg), B=args.batch)
-        ms = p50_ms(jax.jit(fn), (variables, rgbd_b, p2p_b), args.iters)
+        ms = stage_ms(fn, variables, rgbd_b, p2p_b, "traversability_preds")
         print(f"batch={args.batch:2d} deployment graph         : "
-              f"{ms:7.3f} ms p50  ({args.batch * 1000.0 / ms:7.1f} "
+              f"{ms:7.3f} ms/batch  ({args.batch * 1000.0 / ms:7.1f} "
               f"samples/s)")
 
 
