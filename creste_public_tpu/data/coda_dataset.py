@@ -295,15 +295,18 @@ class CodaDataset:
         except FileNotFoundError:
             calib = self._calib(seq)
             h, w = self.image_size or calib.img_hw
-            return np.ones((h // self.ds, w // self.ds), bool)
+            # ceil division: x[::ds] has ceil(len/ds) elements — must match
+            # the strided branch for collation
+            return np.ones((-(-h // self.ds), -(-w // self.ds)), bool)
         if m.ndim == 3:  # [H, W, 2] (instance, class) from video tracking
             m = m[..., 0]
         if self.image_size is not None and m.shape[:2] != tuple(self.image_size):
             from PIL import Image
 
             h, w = self.image_size
+            # int32 'I' mode: instance ids can exceed uint16 in long runs
             m = np.asarray(
-                Image.fromarray(m.astype(np.uint16)).resize(
+                Image.fromarray(m.astype(np.int32), mode="I").resize(
                     (w, h), Image.NEAREST
                 )
             )

@@ -140,11 +140,6 @@ def build_sequence_depth(
         save_depth_png(out_path, depth)
         return out_path
 
-    if workers > 1:
-        from concurrent.futures import ThreadPoolExecutor
+    from creste_public_tpu.utils.concurrency import parallel_map
 
-        with ThreadPoolExecutor(workers) as ex:
-            results = list(ex.map(one, frames))
-    else:
-        results = [one(f) for f in frames]
-    return [r for r in results if r is not None]
+    return [r for r in parallel_map(one, frames, workers) if r is not None]

@@ -220,9 +220,21 @@ class DinoV2Extractor:
         torch = self._torch
         B, H, W, C = images.shape
         h, w = dino_input_shape("dinov2", (H, W))
+        if (h, w) != (H, W):
+            # the reference shrinks the WHOLE frame to the DINO input size
+            # (transforms.Resize, feature_extractor.py:276-283) — cropping
+            # would misalign the feature grid against the image
+            from PIL import Image
+
+            images = np.stack([
+                np.asarray(Image.fromarray(
+                    (im * 255).astype(np.uint8)).resize(
+                    (w, h), Image.BILINEAR), np.float32) / 255.0
+                for im in images
+            ])
         with torch.no_grad():
             x = torch.from_numpy(
-                ((images[:, :h, :w] - self._mean) / self._std)
+                ((images - self._mean) / self._std)
                 .transpose(0, 3, 1, 2).astype(np.float32))
             self._feats = []
             out = self.model(x, interpolate_pos_encoding=True)

@@ -29,6 +29,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from creste_public_tpu.utils.concurrency import parallel_map
+
 
 def project_points_to_pixels(
     points: np.ndarray, lidar2camrect: np.ndarray, img_h: int, img_w: int
@@ -284,14 +286,7 @@ def build_count_bins(
             scene.astype(out_dtype).tofile(
                 os.path.join(out_dir, str(seq), f"{f}.bin"))
 
-        if workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(workers) as ex:
-                list(ex.map(save_one, todo))
-        else:
-            for f in todo:
-                save_one(f)
+        parallel_map(save_one, todo, workers)
         written += len(todo)
     return written
 
@@ -353,13 +348,6 @@ def build_descriptor_bins(
             scene.astype(np.float32).tofile(
                 os.path.join(out_dir, str(seq), f"{f}.bin"))
 
-        if workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(workers) as ex:
-                list(ex.map(save_one, todo))
-        else:
-            for f in todo:
-                save_one(f)
+        parallel_map(save_one, todo, workers)
         written += len(todo)
     return written

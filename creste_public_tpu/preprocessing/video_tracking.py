@@ -340,11 +340,16 @@ def track_video(
             det = tracked  # nothing detected: keep tracking what we have
         if not det.labels:
             continue
-        # Track through the gap INCLUDING the next keyframe (the reference's
+        # The keyframe's map comes straight from the reconciled detection
+        # masks (the real detector/segmenter output — a propagator must not
+        # re-derive them); the propagator only bridges the gap frames, up
+        # to and INCLUDING the next keyframe (the reference's
         # propagate_in_video(max_frame_num_to_track=step) ends on the next
-        # detection frame), so reconciliation always compares masks at the
-        # same frame; the next window overwrites the keyframe's map.
-        segments = propagator.propagate(frames, det, start, step + 1)
+        # detection frame) so reconciliation compares same-frame masks.
+        # The next window's detection overwrites the shared keyframe map.
+        results[start] = det.to_maps(hw)
+        tracked = det
+        segments = propagator.propagate(frames, det, start + 1, step)
         for fidx, reg in sorted(segments.items()):
             results[fidx] = reg.to_maps(hw)
             tracked = reg

@@ -83,11 +83,14 @@ def make_loss_closure(
     (total, (new_batch_stats, metrics)) for data_parallel_train_step."""
 
     # Opt-in mixed-precision compute (model cfg `compute_dtype: bfloat16`):
-    # master params stay f32 in the optimizer; the forward runs with
-    # bf16-cast weights + inputs (BN stats/affine stay f32 via
-    # runtime.precision), outputs and the whole loss stack are cast back to
-    # f32 so reductions/logsumexp keep full precision. Grad of an f32
-    # master param through the cast is f32 (the cast VJP casts back).
+    # master params stay f32 in the optimizer; weights + inputs are cast to
+    # bf16 and outputs/losses cast back to f32. NOTE the effect is mostly
+    # weight-HBM traffic: BN scale/bias stay f32 (runtime.precision), and
+    # flax dtype promotion returns f32 activations after each BatchNorm, so
+    # convs after the first BN of each block compute in f32 — measured
+    # ~1.5% on the v5e stage-2 step (562 vs 571 ms @ B=16), which is why
+    # f32 remains the default. Grad of an f32 master param through the
+    # cast is f32 (the cast VJP casts back).
     mcfg = getattr(model, "cfg", None)
     compute_dtype = None
     if isinstance(mcfg, dict) and mcfg.get("compute_dtype"):

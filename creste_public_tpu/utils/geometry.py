@@ -327,7 +327,12 @@ def se3_to_bev_se2(
     se2 = np.eye(3, dtype=np.float64)
     se2[:2, :2] = pose[:2, :2]
     se2[:2, 2] = pose[:2, 3] / voxel
+    # component 0 is the ROW (+x -> -row), so its offset is the row-centre
+    # H//2; the reference literally writes bev_size[1]//2 there
+    # (codapefree_dataloader.py:598-601), which is identical for its square
+    # grids but swapped for non-square ones — we use the geometrically
+    # correct centre.
     t_l2b = np.array(
-        [[-1, 0, W // 2], [0, -1, H // 2], [0, 0, 1]], np.float64
+        [[-1, 0, H // 2], [0, -1, W // 2], [0, 0, 1]], np.float64
     )
     return t_l2b @ se2

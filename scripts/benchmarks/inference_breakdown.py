@@ -21,22 +21,21 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
     _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
 import argparse
 
-import numpy as np
-
 from creste_public_tpu.runtime.benchmark import serialized_latency
 
 
-def stage_ms(fn, variables, rgbd, p2p, out_key):
+def stage_ms(fn, variables, rgbd, p2p, out_key, iters):
     """On-chip serialized per-frame ms (see runtime/benchmark.py — naive
     identical-input loops are deduped by the tunnel runtime)."""
     per, _ = serialized_latency(fn, variables, rgbd, p2p, out_key,
-                                n_long=30, repeats=3)
+                                n_long=iters, repeats=3)
     return per * 1e3
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=30,
+                    help="scan length for the serialized measurement")
     ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
 
@@ -78,19 +77,20 @@ def main():
 
     rows = []
     rows.append(("backbone (EffNet+heads)",
-                 stage_ms(backbone_only, tvars, rgbd, p2p, None)))
+                 stage_ms(backbone_only, tvars, rgbd, p2p, None, args.iters)))
     rows.append(("full TerrainNet (+splat+decoder)",
-                 stage_ms(terrain_full, tvars, rgbd, p2p, None)))
+                 stage_ms(terrain_full, tvars, rgbd, p2p, None, args.iters)))
     rows.append(("deployment graph (+VIN reward)",
                  stage_ms(fn, variables, rgbd, p2p,
-                          "traversability_preds")))
+                          "traversability_preds", args.iters)))
 
     for name, ms in rows:
         print(f"{name:36s}: {ms:7.3f} ms/frame  ({1000.0 / ms:7.1f} Hz)")
 
     if args.batch > 1:
         rgbd_b, p2p_b = _example_inputs(Config(terrain_cfg), B=args.batch)
-        ms = stage_ms(fn, variables, rgbd_b, p2p_b, "traversability_preds")
+        ms = stage_ms(fn, variables, rgbd_b, p2p_b, "traversability_preds",
+                      args.iters)
         print(f"batch={args.batch:2d} deployment graph         : "
               f"{ms:7.3f} ms/batch  ({args.batch * 1000.0 / ms:7.1f} "
               f"samples/s)")

@@ -55,16 +55,9 @@ def build_elevation(args, seq):
         )
         np.save(out, label.astype(np.float32))
 
-    frames = range(len(poses))
-    if args.workers > 1:
-        # jax dispatch is thread-safe; scan loading is the bottleneck
-        from concurrent.futures import ThreadPoolExecutor
+    from creste_public_tpu.utils.concurrency import parallel_map
 
-        with ThreadPoolExecutor(args.workers) as ex:
-            list(ex.map(one, frames))
-    else:
-        for frame in frames:
-            one(frame)
+    parallel_map(one, range(len(poses)), args.workers)
     print(f"seq {seq}: elevation labels at {out_dir}")
 
 

@@ -105,15 +105,9 @@ def main():
             except FileNotFoundError as e:
                 print(f"skip {seq}/{frame}: {e}")
 
-        frames = range(n_frames)
-        if args.workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        from creste_public_tpu.utils.concurrency import parallel_map
 
-            with ThreadPoolExecutor(args.workers) as ex:
-                list(ex.map(one, frames))
-        else:
-            for frame in frames:
-                one(frame)
+        parallel_map(one, range(n_frames), args.workers)
         print(f"seq {seq}: SAM maps at {out_dir}")
 
 

@@ -167,3 +167,17 @@ def test_synthetic_dataset_has_mv_mask():
     s = ds[0]
     assert "mv_mask" in s and s["mv_mask"].dtype == bool
     assert not s["mv_mask"].all()  # contains a dynamic blob
+
+
+def test_warp_bev_mask_nonsquare_rotation():
+    """Rotation about the true grid centre on a NON-square grid (the
+    reference's T_lidar_to_bev literally swaps the offsets there)."""
+    mask = np.zeros((64, 32), bool)
+    mask[10:14, 14:18] = True
+    pose = np.eye(4)
+    pose[:2, :2] = [[-1, 0], [0, -1]]  # 180-degree yaw
+    out = geo.warp_bev_mask(mask, pose, voxel=0.1)
+    assert out.sum() == mask.sum()
+    c_in = np.array([np.nonzero(mask)[0].mean(), np.nonzero(mask)[1].mean()])
+    c_out = np.array([np.nonzero(out)[0].mean(), np.nonzero(out)[1].mean()])
+    np.testing.assert_allclose(c_in + c_out, [64.0, 32.0], atol=1.5)

@@ -123,3 +123,25 @@ def test_new_object_gets_new_id():
     ids0 = set(np.unique(maps[0][..., 0])) - {0}
     ids5 = set(np.unique(maps[5][..., 0])) - {0}
     assert ids0 < ids5 and len(ids5) == 3
+
+
+def test_keyframe_maps_come_from_detection_masks():
+    """At keyframes the saved map must be the reconciled DETECTION masks
+    (the real SAM output), not a propagator re-derivation: a propagator
+    that returns nothing must still leave keyframe maps populated."""
+
+    class NullPropagator:
+        def propagate(self, frames, registry, start, count):
+            return {}
+
+    frames = blob_video(n_frames=4)
+    maps = track_video(frames, FakeBlobDetector(), FakeBoxMaskPredictor(),
+                       NullPropagator(), step=1)
+    for t, m in enumerate(maps):
+        assert (m[..., 0] > 0).any(), f"keyframe {t} lost detections"
+    # the STATIC blob reconciles detection-to-detection (IoU 1.0) and keeps
+    # its id even with no propagation; the mover (IoU 0.6 between frames)
+    # legitimately re-mints — bridging motion is the propagator's job
+    static_id = maps[0][34, 44, 0]
+    assert static_id != 0
+    assert all(m[34, 44, 0] == static_id for m in maps)
