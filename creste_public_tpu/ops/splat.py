@@ -67,12 +67,12 @@ def splat_bilinear(
 
     feats = feats.astype(jnp.float32)
 
-    densities = jnp.zeros((B, n_vox), jnp.float32)
-    if mode == "max":
-        features = jnp.zeros((B, n_vox, F), jnp.float32)
-    else:
-        features = jnp.zeros((B, n_vox, F), jnp.float32)
-
+    # Build all four corner (index, weight) sets, then scatter ONCE over a
+    # [B, 4P] update stream with the density folded in as an extra feature
+    # channel: one fused scatter-add instead of eight separate scatters —
+    # XLA's TPU scatter has per-op serialization overhead that dominated
+    # the splat at these sizes.
+    idxs, ws = [], []
     for xdiff in (0, 1):
         x_ = x0 + xdiff
         wx = (1 - xdiff) + (2 * xdiff - 1) * rx
@@ -80,26 +80,32 @@ def splat_bilinear(
             y_ = y0 + ydiff
             wy = (1 - ydiff) + (2 * ydiff - 1) * ry
             w = wx * wy  # [B, P]
-
             valid = (x_ >= 0) & (x_ < W) & (y_ >= 0) & (y_ < H)
-            idx = jnp.where(valid, y_ * W + x_, 0)
-            w = jnp.where(valid, w, 0.0)
+            idxs.append(jnp.where(valid, y_ * W + x_, 0))
+            ws.append(jnp.where(valid, w, 0.0))
 
-            densities = densities.at[
-                jnp.arange(B)[:, None], idx
-            ].add(w, mode="drop")
+    idx4 = jnp.concatenate(idxs, axis=1)  # [B, 4P]
+    w4 = jnp.concatenate(ws, axis=1)  # [B, 4P]
+    feats4 = jnp.tile(feats, (1, 4, 1))  # [B, 4P, F]
+    batch_ix = jnp.arange(B)[:, None]
 
-            contrib = w[..., None] * feats  # [B, P, F]
-            if mode in ("mean", "sum"):
-                features = features.at[jnp.arange(B)[:, None], idx].add(
-                    contrib, mode="drop"
-                )
-            elif mode == "max":
-                features = features.at[jnp.arange(B)[:, None], idx].max(
-                    contrib, mode="drop"
-                )
-            else:
-                raise ValueError(f"Unknown splat scatter mode: {mode}")
+    if mode in ("mean", "sum"):
+        updates = jnp.concatenate(
+            [w4[..., None] * feats4, w4[..., None]], axis=-1
+        )  # [B, 4P, F+1]
+        acc = jnp.zeros((B, n_vox, F + 1), jnp.float32)
+        acc = acc.at[batch_ix, idx4].add(updates, mode="drop")
+        features = acc[..., :F]
+        densities = acc[..., F]
+    elif mode == "max":
+        densities = jnp.zeros((B, n_vox), jnp.float32)
+        densities = densities.at[batch_ix, idx4].add(w4, mode="drop")
+        features = jnp.zeros((B, n_vox, F), jnp.float32)
+        features = features.at[batch_ix, idx4].max(
+            w4[..., None] * feats4, mode="drop"
+        )
+    else:
+        raise ValueError(f"Unknown splat scatter mode: {mode}")
 
     if mode == "mean":
         features = features / jnp.clip(densities, min_weight, None)[..., None]
