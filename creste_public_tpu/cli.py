@@ -38,6 +38,13 @@ def train_from_config(cfg: Config) -> Any:
     ds_cfg = Config(cfg["dataset"])
     tcfg = Config(cfg["trainer"])
     task = cfg.get("task", None)
+    # optional visualize group (reference configs/visualize/*): turns on the
+    # per-validation visual composites (training/visual_log.py)
+    if "visualize" in cfg:
+        vz = Config(cfg["visualize"])
+        tcfg["log_val_images"] = True
+        if vz.get("save_dir"):
+            tcfg["visuals_dir"] = vz["save_dir"]
 
     batch = int(model_cfg.get("batch_size", 4))
     workers = int(tcfg.get("num_workers", 4))

@@ -124,6 +124,13 @@ def compose(
         root_path, config_dir, top_level=True,
         group_overrides=group_overrides,
     )
+    # groups selected on the CLI but absent from the root defaults append
+    # (hydra's `+group=option`, e.g. `visualize=effnet_distillation`)
+    for group, option in (group_overrides or {}).items():
+        if group not in cfg:
+            opt_path = os.path.join(config_dir, group, str(option) + ".yaml")
+            if os.path.exists(opt_path):
+                cfg[group] = _compose_file(opt_path, config_dir)
     return apply_overrides(cfg, overrides)
 
 

@@ -234,7 +234,9 @@ def run_training(
                 vb = vb[1] if isinstance(vb, tuple) else vb
                 log_visuals(
                     stage, model, state, vb, logger, global_step,
-                    out_dir=os.path.join(ckpt_dir, "visuals"),
+                    out_dir=tcfg.get(
+                        "visuals_dir", os.path.join(ckpt_dir, "visuals")
+                    ),
                 )
             topk.maybe_save(state, global_step, val_metrics)
         else:

@@ -57,6 +57,12 @@ def render_stage_outputs(stage: str, outputs: dict, batch: dict,
     elev = np0("elevation_preds", outputs)
     if elev is not None:
         out["bev/elevation_pred"] = vz.visualize_bev_label(elev, "elevation")
+        gt = np0("elevation_label", batch)
+        # 3-D heightfield panel (reference visualize_elevation_3d_wrapper,
+        # visualization.py:811) on the lower-elevation channel
+        out["bev/elevation_3d"] = vz.visualize_elevation_3d(
+            elev[..., 0], gt[..., 0] if gt is not None else None
+        )
 
     reward = np0("traversability_preds", outputs)
     if reward is not None:

@@ -41,3 +41,17 @@ def test_attribute_access_and_update():
     c2 = Config(c)
     c2["a"]["b"] = 2
     assert c2.a.b == 2
+
+
+def test_appended_group_composes():
+    """CLI groups absent from the root defaults append (hydra +group=opt;
+    the reference's visualize group, configs/visualize/*)."""
+    import os
+
+    from creste_public_tpu.config.config import compose_cli
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = compose_cli("distillation", cfg_dir,
+                      ["visualize=effnet_distillation"])
+    assert "visualize" in cfg
+    assert cfg["visualize"]["every_n_epochs"] == 1
