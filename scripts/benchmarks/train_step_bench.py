@@ -6,7 +6,7 @@ at a given batch size on the real chip, optionally with bf16 compute
 (`model.compute_dtype=bfloat16`).
 
 Usage: python scripts/benchmarks/train_step_bench.py [--batch 16]
-       [--iters 20] [--dtype float32|bfloat16]
+       [--iters 20] [--dtype float32|bfloat16] [--stage ssc|traversability]
 """
 import os as _os
 import sys as _sys
@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--stage", default="ssc",
+                    choices=["ssc", "traversability"])
     args = ap.parse_args()
 
     import jax
@@ -34,23 +36,30 @@ def main():
     from creste_public_tpu.training import pipelines
     from creste_public_tpu.parallel.mesh import make_mesh, shard_batch
 
-    cfg = presets.terrainnet_model_config()
+    if args.stage == "ssc":
+        cfg = presets.terrainnet_model_config()
+        task = "joint"
+    else:
+        cfg = presets.traversability_model_config()
+        task = None
     if args.dtype != "float32":
         cfg["compute_dtype"] = args.dtype
     cfg["batch_size"] = args.batch
 
     ds = SyntheticCodaDataset(length=args.batch)
     batch = collate([ds[i] for i in range(args.batch)])
-    batch = {k: v for k, v in batch.items()
-             if k not in ("counterfactuals_label",)}
+    if args.stage == "ssc":
+        batch = {k: v for k, v in batch.items()
+                 if k not in ("counterfactuals_label",)}
 
     mesh = make_mesh()
     model, lm, state, tx = pipelines.init_stage(
-        "ssc", cfg, jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch),
+        args.stage, cfg,
+        jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch),
         steps_per_epoch=100,
     )
-    step = pipelines.make_train_step("ssc", model, lm, tx, mesh,
-                                     task="joint", donate=False)
+    step = pipelines.make_train_step(args.stage, model, lm, tx, mesh,
+                                     task=task, donate=False)
 
     sb = shard_batch(batch, mesh)
     rng = jax.random.PRNGKey(0)
@@ -68,7 +77,8 @@ def main():
         times.append(time.perf_counter() - t0)
     p50 = float(np.percentile(times, 50)) * 1e3
     print("final loss:", float(metrics["loss"]))
-    print(f"stage-2 train step dtype={args.dtype} batch={args.batch}: "
+    print(f"stage {args.stage} train step dtype={args.dtype} "
+          f"batch={args.batch}: "
           f"{p50:.1f} ms p50 -> {args.batch * 1000.0 / p50:.1f} samples/s")
 
 
