@@ -402,7 +402,12 @@ class MaxEntIRLLoss(Loss):
         reward_fn = aux.get("reward_fn", None)
         if reward_fn is not None and reward_w > 0:
             grad_iv = jax.grad(lambda iv: reward_fn(iv).sum())(input_view)
-            gn = jnp.linalg.norm(grad_iv, axis=-1)  # channel L2 norm
+            # eps-safe channel L2 norm: d||x||/dx at x=0 is NaN, and the
+            # ReLU'd reward net produces exactly-zero d r/d input at dead
+            # positions — the bare norm poisons the second-order backward
+            # and nans the whole step (torch's .norm() has the same hazard;
+            # the reference just never documents hitting it).
+            gn = jnp.sqrt(jnp.sum(grad_iv * grad_iv, axis=-1) + 1e-12)
             reward_penalty = jnp.mean((gn - 1.0) ** 2)
 
         loss = maxent_w * visitation_loss + reward_w * reward_penalty

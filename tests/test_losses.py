@@ -256,3 +256,48 @@ def test_maxent_irl_gradient_penalty():
     ld, meta = mgr(td, aux={"reward_fn": reward_fn})
     # grad norm = 2 -> penalty = (2-1)^2 = 1
     assert float(meta["MaxEntIRLLoss/reward_penalty"]) == pytest.approx(1.0)
+
+
+def test_gradient_penalty_safe_at_dead_reward():
+    """A reward net whose gradient w.r.t. the input is exactly zero (dead
+    ReLU) must yield finite first- AND second-order gradients: the bare
+    jnp.linalg.norm has a NaN derivative at 0 and poisoned whole IRL steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from creste_public_tpu.losses.manager import MaxEntIRLLoss
+
+    B, H, W = 2, 8, 16
+    cfg = {"name": "MaxEntIRLLoss", "weight": 1.0, "map_ds": 1,
+           "map_sz": [H, W], "maxent_weight": 1.0, "reward_weight": 1.0,
+           "alpha": 0.5, "use_fov_mask": False,
+           "pred_key": "outputs/exp_svf", "fov_key": "inputs/fov_mask",
+           "lab_key": "inputs/traversability_label",
+           "cf_key": "inputs/counterfactuals_label"}
+    loss = MaxEntIRLLoss(cfg)
+
+    expert = jnp.tile(jnp.eye(3), (B, 4, 1, 1))
+
+    def total(w):
+        td = {
+            "outputs/exp_svf": jnp.zeros((B, H, W)),
+            "outputs/traversability_preds": jnp.zeros((B, H, W, 1)) + w,
+            "outputs/input_view": jnp.zeros((B, H, W, 3)),
+            "inputs/traversability_label": expert,
+            "inputs/fov_mask": jnp.ones((B, H, W), bool),
+            "inputs/counterfactuals_label": {
+                "trajectories": jnp.zeros((B, 2, 4, 2)),
+                "rank": jnp.zeros((B, 2), jnp.int32),
+                "valid": jnp.zeros((B, 2), bool),
+            },
+        }
+        # reward_fn with ZERO gradient w.r.t. the input view (dead ReLU)
+        aux = {"reward_fn": lambda iv: jnp.zeros(iv.shape[:-1] + (1,)) + w}
+        ld, _ = loss(td, aux)
+        w, v = ld["maxentirl_loss"]
+        return w * v
+
+    g = jax.grad(total)(jnp.float32(0.1))
+    assert jnp.isfinite(g), f"non-finite grad through the penalty: {g}"
+    v = total(jnp.float32(0.1))
+    assert jnp.isfinite(v)
