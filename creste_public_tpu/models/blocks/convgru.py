@@ -139,7 +139,9 @@ class MergeUnit(nn.Module):
         cfg = self.cfg
         rnn_in = cfg.get("rnn_input_channels", None)
         if rnn_in is not None:
-            x = nn.Conv(int(rnn_in), (1, 1), name="pre_rnn_conv")(x)
+            # ConvLayer(kernel=1, bn=True) — bias-free conv (conv.py:63-72)
+            x = nn.Conv(int(rnn_in), (1, 1), use_bias=False,
+                        name="pre_rnn_conv")(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, name="pre_rnn_bn"
             )(x)

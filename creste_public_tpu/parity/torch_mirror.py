@@ -641,6 +641,112 @@ class TorchInpaintingResNet18MultiHead(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# Temporal MergeUnit / ConvGRU (rnn.py:8-146, convgru.py:13-120)
+# ---------------------------------------------------------------------------
+
+
+class TorchConvGRUCell(nn.Module):
+    """Reference ConvGRUCell (convgru.py:13-90): GRU/MRU gating."""
+
+    def __init__(self, input_dim, hidden_dim, kernel_size=(1, 1),
+                 cell_type="GRU"):
+        super().__init__()
+        self.cell_type = cell_type
+        self.hidden_dim = hidden_dim
+        pad = (kernel_size[0] // 2, kernel_size[1] // 2)
+        gate_out = hidden_dim + hidden_dim * (cell_type == "GRU")
+        self.conv_gates = nn.Conv2d(input_dim + hidden_dim, gate_out,
+                                    kernel_size, padding=pad, bias=True)
+        self.conv_can = nn.Conv2d(input_dim + hidden_dim, hidden_dim,
+                                  kernel_size, padding=pad, bias=True)
+
+    def forward(self, x, h):
+        combined = torch.cat([x, h], dim=1)
+        gates = self.conv_gates(combined)
+        if self.cell_type == "GRU":
+            gamma, beta = torch.split(gates, self.hidden_dim, dim=1)
+            reset = torch.sigmoid(gamma)
+            update = torch.sigmoid(beta)
+        else:  # MRU
+            reset = update = torch.sigmoid(gates)
+        cand = torch.tanh(self.conv_can(torch.cat([x, reset * h], dim=1)))
+        return (1 - update) * h + update * cand
+
+
+class TorchConvGRU(nn.Module):
+    """Reference ConvGRU stack (convgru.py:120-320, pose-free path):
+    `.cell_list` ModuleList, batch-first [B, T, C, H, W]."""
+
+    def __init__(self, input_dim, hidden_dims, kernel_size=(1, 1),
+                 cell_type="GRU"):
+        super().__init__()
+        cells = []
+        for i, hd in enumerate(hidden_dims):
+            cin = input_dim if i == 0 else hidden_dims[i - 1]
+            cells.append(TorchConvGRUCell(cin, hd, kernel_size, cell_type))
+        self.cell_list = nn.ModuleList(cells)
+
+    def forward(self, x, hidden_state=None):
+        B, T = x.shape[:2]
+        outs, lasts = x, []
+        for li, cell in enumerate(self.cell_list):
+            h = (hidden_state[li] if hidden_state is not None
+                 else x.new_zeros(B, cell.hidden_dim, *x.shape[-2:]))
+            ys = []
+            for t in range(T):
+                h = cell(outs[:, t], h)
+                ys.append(h)
+            outs = torch.stack(ys, dim=1)
+            lasts.append(h)
+        return outs, lasts
+
+
+class TorchMergeUnit(nn.Module):
+    """Reference MergeUnit (rnn.py:8-146): optional bias-free 1x1 ConvLayer
+    + grouped batch-folded ConvGRU with bos reset."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        rnn_in = cfg.get("rnn_input_channels", None)
+        self.pre_rnn_conv = (
+            TorchConvLayer(int(cfg["input_channels"]), int(rnn_in),
+                           kernel=1, bn=True)
+            if rnn_in is not None else None
+        )
+        rc = cfg.get("rnn_config", None)
+        self.rnn_cfg = rc
+        if rc is not None:
+            self.groups = int(rc.get("groups", 1))
+            cin = int(rnn_in if rnn_in is not None
+                      else cfg["input_channels"]) // self.groups
+            hidden = [int(h) // self.groups for h in rc["hidden_dims"]]
+            self.rnn = TorchConvGRU(cin, hidden,
+                                    tuple(rc.get("kernel_size", (1, 1))),
+                                    rc.get("cell_type", "GRU"))
+
+    def forward(self, x, t=1, hidden_state=None):
+        """x: [B*T, C, H, W]; returns ([B*T, C', H, W], hidden list)."""
+        if self.pre_rnn_conv is not None:
+            x = self.pre_rnn_conv(x)
+        if self.rnn_cfg is None:
+            return x, None
+        bt, c, h, w = x.shape
+        b = bt // t
+        g = self.groups
+        if g > 1:
+            x = x.reshape(b, t, g, c // g, h, w).transpose(1, 2).reshape(
+                b * g, t, c // g, h, w)
+        else:
+            x = x.reshape(b, t, c, h, w)
+        ys, lasts = self.rnn(x, hidden_state)
+        cl = ys.shape[2]
+        if g > 1:
+            ys = ys.reshape(b, g, t, cl, h, w).transpose(1, 2)
+        ys = ys.reshape(bt, -1, h, w)
+        return ys, [s.detach() for s in lasts]
+
+
+# ---------------------------------------------------------------------------
 # VIN (vin.py)
 # ---------------------------------------------------------------------------
 

@@ -250,6 +250,18 @@ def _rules() -> list[tuple[re.Pattern, Callable]]:
     add(msfcn + r"trunk\.(?P<k>\d+)\.(?P<leaf>weight|bias|running_mean|running_var)$",
         trunk_bn)
 
+    # ---- temporal MergeUnit / ConvGRU (rnn.py:8-56, convgru.py:13-90) ----
+    add(r"(?P<pre>(?:[\w.]+\.)?)temporal_layer\.pre_rnn_conv\.conv\.weight$",
+        lambda m, sd: ("params",
+                       _p(m, "temporal_layer/pre_rnn_conv/kernel"), t_conv))
+    add(r"(?P<pre>(?:[\w.]+\.)?)temporal_layer\.pre_rnn_conv\.norm\.(?P<leaf>\w+)$",
+        lambda m, sd: _bn(m, "temporal_layer/pre_rnn_bn"))
+    add(r"(?P<pre>(?:[\w.]+\.)?)temporal_layer\.rnn\.cell_list\.(?P<i>\d+)\.(?P<c>conv_gates|conv_can)\.(?P<leaf>weight|bias)$",
+        lambda m, sd: ("params",
+                       _p(m, "temporal_layer/rnn/cell_{i}/{c}/"
+                             + ("kernel" if m["leaf"] == "weight" else "bias")),
+                       t_conv if m["leaf"] == "weight" else t_id))
+
     # learnable PE map (+ its decode head) + log-variance extras.
     # The torch param is `learnable_pe_map` [1, C, H, W] (distillation.py:64);
     # flax stores it channels-last.
@@ -416,6 +428,12 @@ _TORCH_TEMPLATES = [
      "{pre_dot}cam2map.vision_fusion.convs.{seq_conv}.{wleaf}", t_conv),
     (r"(?P<pre>.*/)?cam2map/vision_fusion/BatchNorm_(?P<k>\d+)/(?P<leaf>\w+)$",
      "{pre_dot}cam2map.vision_fusion.convs.{seq_bn}.{tleaf}", t_id),
+    (r"(?P<pre>.*/)?temporal_layer/pre_rnn_conv/kernel$",
+     "{pre_dot}temporal_layer.pre_rnn_conv.conv.weight", t_conv),
+    (r"(?P<pre>.*/)?temporal_layer/pre_rnn_bn/(?P<leaf>\w+)$",
+     "{pre_dot}temporal_layer.pre_rnn_conv.norm.{tleaf}", t_id),
+    (r"(?P<pre>.*/)?temporal_layer/rnn/cell_(?P<i>\d+)/(?P<c>conv_gates|conv_can)/(?P<leaf>kernel|bias)$",
+     "{pre_dot}temporal_layer.rnn.cell_list.{i}.{c}.{wleaf}", t_conv),
     (r"(?P<pre>.*/)?learnable_pe_map$",
      "{pre_dot}learnable_pe_map", t_nchw_map),
     (r"(?P<pre>.*/)?pe_head_conv/(?P<leaf>kernel|bias)$",

@@ -340,3 +340,68 @@ def test_reward_e2e_golden(trav_cfg):
     assert r.shape == t.shape
     dev = float(np.abs(r - t).max())
     assert dev <= 1e-3, f"reward-map deviation {dev:.2e} > 1e-3 north star"
+
+
+def test_merge_unit_convgru_golden():
+    """Temporal MergeUnit (pre-RNN conv + grouped 2-layer ConvGRU) vs the
+    torch mirror: group batch-folding, gate math, hidden carry."""
+    from creste_public_tpu.models.blocks.convgru import MergeUnit
+
+    cfg = {"input_channels": 8, "rnn_input_channels": 8,
+           "rnn_config": {"hidden_dims": [8, 8], "groups": 2,
+                          "kernel_size": (3, 3), "cell_type": "GRU"}}
+    model = MergeUnit(cfg)
+    rng = np.random.default_rng(9)
+    B, T, H, W, C = 2, 3, 8, 10, 8
+    x = rng.normal(0, 1, (B * T, H, W, C)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), T, None, True, False)
+    variables = randomize_variables(variables, seed=9)
+    ys, finals = model.apply(variables, jnp.asarray(x), T, None, True, False)
+
+    prefixed = {coll: {"temporal_layer": tree}
+                for coll, tree in variables.items()}
+    sd = export_torch_style(prefixed)
+    mirror = tm.TorchMergeUnit(cfg)
+    tm.load_exported_state_dict(mirror, sd, prefix="temporal_layer.")
+    mirror.eval()
+    with torch.no_grad():
+        tys, tlasts = mirror(to_torch_nchw(x), t=T)
+    assert_close(ys, tys, "merged_bev", 2e-5)
+    for i, (f, tf) in enumerate(zip(finals, tlasts)):
+        # flax finals are [B*G, H, W, C/G]; torch [B*G, C/G, H, W]
+        assert_close(f, tf, f"hidden_{i}", 2e-5)
+
+    # carried hidden state across chunks (bos=False) also matches
+    ys2, _ = model.apply(variables, jnp.asarray(x), T, list(finals), False,
+                         False)
+    with torch.no_grad():
+        tys2, _ = mirror(to_torch_nchw(x), t=T, hidden_state=tlasts)
+    assert_close(ys2, tys2, "merged_bev_chunk2", 2e-5)
+
+
+def test_mru_cell_golden():
+    """MRU single-gate variant matches the reference gate math."""
+    from creste_public_tpu.models.blocks.convgru import ConvGRUCell
+
+    cell = ConvGRUCell(hidden_dim=6, kernel=(1, 1), cell_type="MRU")
+    rng = np.random.default_rng(10)
+    x = rng.normal(0, 1, (2, 5, 7, 6)).astype(np.float32)
+    h = rng.normal(0, 1, (2, 5, 7, 6)).astype(np.float32)
+    variables = cell.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                          jnp.asarray(h))
+    variables = randomize_variables(variables, seed=10)
+    out = cell.apply(variables, jnp.asarray(x), jnp.asarray(h))
+
+    mirror = tm.TorchConvGRUCell(6, 6, (1, 1), "MRU")
+    params = variables["params"]
+    with torch.no_grad():
+        for tname, fname in (("conv_gates", "conv_gates"),
+                             ("conv_can", "conv_can")):
+            getattr(mirror, tname).weight.copy_(torch.from_numpy(
+                np.transpose(np.asarray(params[fname]["kernel"]),
+                             (3, 2, 0, 1))))
+            getattr(mirror, tname).bias.copy_(torch.from_numpy(
+                np.asarray(params[fname]["bias"])))
+        tout = mirror(to_torch_nchw(x), to_torch_nchw(h))
+    assert_close(out, tout, "mru_out", 2e-5)
