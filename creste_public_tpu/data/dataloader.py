@@ -88,6 +88,18 @@ class EpochLoader:
                 )
             return s
 
+        def put(item) -> bool:
+            """Bounded put that aborts when the consumer abandoned the
+            epoch (otherwise the producer thread blocks forever on a full
+            queue and leaks)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             from concurrent.futures import ThreadPoolExecutor
 
@@ -101,9 +113,10 @@ class EpochLoader:
                             samples = list(pool.map(fetch_one, idxs))
                         else:
                             samples = [fetch_one(j) for j in idxs]
-                        q.put(self.collate(samples))
+                        if not put(self.collate(samples)):
+                            return
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

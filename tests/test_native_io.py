@@ -72,3 +72,26 @@ def test_parallel_assembler(files):
     assert batch.shape == (8, 48, 64, 4)
     assert np.allclose(batch[0], batch[7])
     asm.close()
+
+
+def test_epoch_loader_abandonment_no_leak():
+    """Abandoning an epoch mid-iteration must wind the producer down (the
+    bounded put aborts on stop) instead of leaking a blocked thread."""
+    import threading
+    import time
+
+    from creste_public_tpu.data.dataloader import EpochLoader
+    from creste_public_tpu.data.synthetic import SyntheticCodaDataset
+
+    ds = SyntheticCodaDataset(cfg={"image_size": [64, 80], "grid": 32,
+                                   "map_range": 1.6, "fdn_dim": 16,
+                                   "length": 12})
+    dl = EpochLoader(ds, 2, prefetch=1, num_workers=2)
+    base = threading.active_count()
+    for trial in range(5):
+        it = dl.epoch(trial)
+        next(it)
+        it.close()
+    time.sleep(2.0)
+    assert threading.active_count() - base <= 2
+    assert sum(1 for _ in dl.epoch(99)) == 6
