@@ -127,3 +127,44 @@ def test_roundtrip_maxent_irl_reward_head():
             np.testing.assert_allclose(np.asarray(flat_new[path]), val)
             n += 1
     assert n >= 20  # reward net conv + bn leaves all round-tripped
+
+
+def test_roundtrip_pefree_pe_map():
+    """PE-free model round trip: learnable_pe_map (NCHW<->NHWC), pe_head
+    conv/bn, dino_head, cam2map z_proj + vision_fusion `.convs` naming."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from creste_public_tpu.config import presets
+    from creste_public_tpu.models import DistillationBackbone
+    from creste_public_tpu.training.torch_import import (
+        convert_torch_state_dict,
+        export_torch_style,
+        merge_into_variables,
+    )
+
+    cfg = presets.distillation_pefree_config(
+        image_size=(64, 80), grid=32, map_range=1.6, depth_embed_dim=32,
+        fdn_embed_dim=16, num_depth_bins=16, depth_max=3200, num_views=1,
+        z_embed_dim=8,
+    )
+    model = DistillationBackbone(cfg.to_dict())
+    rng = np.random.default_rng(3)
+    rgbd = rng.uniform(0, 1, (1, 2, 64, 80, 4)).astype(np.float32)
+    rgbd[..., 3] *= 3000.0
+    p2p = np.tile(np.eye(4, dtype=np.float32), (1, 2, 1, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(rgbd), jnp.asarray(p2p), False)
+
+    sd = export_torch_style(variables)
+    assert any("learnable_pe_map" in k for k in sd)
+    assert any(".pe_head.0.weight" in k for k in sd)
+    assert any("vision_fusion.convs.0.weight" in k for k in sd)
+
+    params, stats, unmatched = convert_torch_state_dict(sd)
+    assert not unmatched, unmatched[:5]
+    merged = merge_into_variables(variables, params, stats)
+    flat_a = jax.tree_util.tree_leaves(variables["params"])
+    flat_b = jax.tree_util.tree_leaves(merged["params"])
+    assert all(np.allclose(a, b) for a, b in zip(flat_a, flat_b))
