@@ -129,3 +129,24 @@ def write_split_files(
                 for r in rows:
                     key = r[1] if isinstance(r, tuple) else r
                     f.write(f"{distances.get(key, 0.0):.4f}\n")
+
+
+def drop_overlapping_horizons(
+    samples: list[tuple[str, int]], horizon: int
+) -> list[tuple[str, int]]:
+    """Greedy per-sequence thinning: keep a (seq, frame) sample only if its
+    ``horizon``-frame window does not overlap the previously kept one.
+
+    Reference: creste/utils/utils.py:125-160 (imported by the dataloader for
+    horizon-sample deduplication). Input order is preserved for kept rows.
+    """
+    order = sorted(range(len(samples)),
+                   key=lambda i: (str(samples[i][0]), int(samples[i][1])))
+    keep = set()
+    last: dict[str, int] = {}
+    for i in order:
+        seq, frame = str(samples[i][0]), int(samples[i][1])
+        if seq not in last or frame >= last[seq] + horizon:
+            keep.add(i)
+            last[seq] = frame
+    return [s for i, s in enumerate(samples) if i in keep]

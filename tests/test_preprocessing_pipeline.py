@@ -154,3 +154,15 @@ def test_random_projection_extractor_deterministic():
     a, b = ext(img), ext(img)
     assert a.shape == (1, 4, 5, 32)
     assert np.allclose(a, b)
+
+
+def test_drop_overlapping_horizons():
+    from creste_public_tpu.preprocessing.splits import (
+        drop_overlapping_horizons,
+    )
+
+    samples = [("0", 0), ("0", 3), ("0", 10), ("1", 2), ("1", 4), ("0", 25)]
+    out = drop_overlapping_horizons(samples, horizon=10)
+    assert out == [("0", 0), ("0", 10), ("1", 2), ("0", 25)]
+    # horizon 1 keeps everything
+    assert drop_overlapping_horizons(samples, 1) == samples
