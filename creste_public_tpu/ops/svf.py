@@ -77,14 +77,21 @@ def expected_svf(
     def step(carry, _):
         mu_prev, total = carry
         if zero_terminal_state:
+            # the reference zeroes mu[:, t-1] IN PLACE before propagating
+            # (lfd.py:203-206), so the zeroed row is what the final sum
+            # sees — accumulate AFTER zeroing, not the raw propagation.
             mu_prev = mu_prev.at[jnp.arange(B), s1].set(0.0)
         pm = policy * mu_prev.reshape(B, H, W, 1)
         mu_next = _propagate(pm).reshape(B, n)
-        return (mu_next, total + mu_next), None
+        return (mu_next, total + mu_prev), None
 
-    # total starts as mu0 (t=0 contribution); reference sums mu[:, t] for all t.
-    (_, total), _ = jax.lax.scan(step, (mu0, mu0), None, length=horizon - 1)
-    return total.reshape(B, H, W)
+    # reference sums mu[:, t] for t in [0, horizon): rows 0..T-2 enter the
+    # sum terminal-zeroed, the final row T-1 un-zeroed (the loop ends).
+    zero = jnp.zeros_like(mu0)
+    (mu_last, total), _ = jax.lax.scan(
+        step, (mu0, zero), None, length=horizon - 1
+    )
+    return (total + mu_last).reshape(B, H, W)
 
 
 @partial(jax.jit, static_argnames=("horizon",))

@@ -879,6 +879,46 @@ class TorchMaxEntIRLReward(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# Expected SVF propagation (lfd.py:56-70, 156-232)
+# ---------------------------------------------------------------------------
+
+
+def svf_transition_kernels(num_actions=8):
+    """The reference's inverse-transition buffer (lfd.py:56-70): one unit
+    tap per action at the `center` position. [A, 1, 3, 3]."""
+    w = torch.zeros(num_actions, 1, 3, 3)
+    center = [[2, 2], [2, 1], [2, 0], [1, 2], [1, 0], [0, 2], [0, 1], [0, 0]]
+    for i in range(num_actions):
+        w[i, 0, center[i][0], center[i][1]] = 1.0
+    return w
+
+
+def torch_expected_svf(policy, s0, s1, horizon, zero_terminal_state=False,
+                       temperature=None):
+    """Reference expected_state_visitation_frequency core loop
+    (lfd.py:190-232): depthwise inverse-transition conv propagation.
+
+    policy: [B, A, H, W]; s0/s1: [B] linear states. Returns mu [B, H, W].
+    """
+    B, A, H, W = policy.shape
+    n = H * W
+    if temperature is not None:
+        logits = policy - policy.max(dim=1, keepdim=True)[0]
+        policy = F.softmax(logits / temperature, dim=1)
+    w = svf_transition_kernels(A)
+    mu = torch.zeros(B, horizon, n)
+    mu[torch.arange(B), 0, s0] = 1.0
+    for t in range(1, horizon):
+        if zero_terminal_state:
+            mu[torch.arange(B), t - 1, s1] = 0.0
+        prev = mu[:, t - 1].clone().view(B, 1, H, W)
+        policy_mu = policy * prev
+        new_mu = F.conv2d(policy_mu, w, stride=1, padding=1, groups=A)
+        mu[:, t] = new_mu.sum(dim=1).view(B, n)
+    return mu.sum(dim=1).view(B, H, W)
+
+
+# ---------------------------------------------------------------------------
 # MultiPosConLoss, single rank (supcon_loss.py:56-116)
 # ---------------------------------------------------------------------------
 

@@ -405,3 +405,35 @@ def test_mru_cell_golden():
                 np.asarray(params[fname]["bias"])))
         tout = mirror(to_torch_nchw(x), to_torch_nchw(h))
     assert_close(out, tout, "mru_out", 2e-5)
+
+
+def test_expected_svf_golden():
+    """SVF propagation (slice-shift redesign) vs the reference's depthwise
+    inverse-transition conv, incl. sharpening and zero-terminal-state."""
+    from creste_public_tpu.ops.svf import expected_svf, sharpen_policy
+
+    rng = np.random.default_rng(12)
+    B, H, W, A = 2, 12, 20, 8
+    policy = rng.uniform(0.01, 1.0, (B, H, W, A)).astype(np.float32)
+    policy /= policy.sum(-1, keepdims=True)
+    s0 = np.array([5 * W + 7, 3 * W + 2])
+    s1 = np.array([2 * W + 10, 8 * W + 15])
+
+    for zts in (False, True):
+        mu = expected_svf(jnp.asarray(policy), jnp.asarray(s0),
+                          jnp.asarray(s1), horizon=10,
+                          zero_terminal_state=zts)
+        tmu = tm.torch_expected_svf(
+            to_torch_nchw(policy), torch.from_numpy(s0),
+            torch.from_numpy(s1), horizon=10, zero_terminal_state=zts)
+        np.testing.assert_allclose(np.asarray(mu), tmu.numpy(),
+                                   rtol=1e-5, atol=1e-5)
+
+    # sharpened policy path matches the reference's in-loop sharpening
+    sharp = sharpen_policy(jnp.asarray(policy), 0.1)
+    mu_s = expected_svf(sharp, jnp.asarray(s0), jnp.asarray(s1), horizon=8)
+    tmu_s = tm.torch_expected_svf(
+        to_torch_nchw(policy), torch.from_numpy(s0), torch.from_numpy(s1),
+        horizon=8, temperature=0.1)
+    np.testing.assert_allclose(np.asarray(mu_s), tmu_s.numpy(),
+                               rtol=1e-5, atol=1e-5)

@@ -53,9 +53,17 @@ def test_zero_terminal_state_absorbs():
             zero_terminal_state=True,
         )
     )
-    # mass reaches terminal (3,4) then is zeroed before further propagation
+    # reference semantics (lfd.py:203-206): the terminal state is zeroed IN
+    # PLACE in every summed row except the final one, so absorbed mass never
+    # appears at or beyond the terminal; upstream visitation survives
     assert mu[0, 3, 5] == 0.0
-    assert mu[0, 3, 4] > 0.0
+    assert mu[0, 3, 4] == 0.0
+    assert mu[0, 3, 3] > 0.0
+    # without zeroing, mass passes straight through the terminal
+    mu_free = np.asarray(expected_svf(
+        jnp.asarray(policy), jnp.asarray(s0), jnp.asarray(s1), horizon=6,
+        zero_terminal_state=False))
+    assert mu_free[0, 3, 5] > 0.0
 
 
 def test_sharpen_policy_is_sharper():
