@@ -918,6 +918,32 @@ def torch_expected_svf(policy, s0, s1, horizon, zero_terminal_state=False,
     return mu.sum(dim=1).view(B, H, W)
 
 
+def torch_compute_expert_visitation(xy, map_ds, map_sz):
+    """Reference MaxEntIRLLoss.compute_expert_visitation
+    (loss_utils.py:1055-1116, second definition): data-dependent
+    max_steps = ceil(max segment length), per-segment linspace
+    interpolation, final-pose append, scatter ones, clamp to 1.
+
+    xy: [B, T, 2] full-res BEV (row, col). Returns [B, H, W] in {0, 1}.
+    """
+    H, W = map_sz
+    pts = xy.float() / map_ds
+    start, end = pts[:, :-1], pts[:, 1:]
+    distances = torch.norm(end - start, dim=-1)
+    max_steps = int(torch.ceil(distances).long().max().item())
+    t = torch.linspace(0, 1, max_steps).view(1, 1, -1, 1)
+    interp = start.unsqueeze(2) + t * (end - start).unsqueeze(2)
+    interp = interp.reshape(pts.shape[0], -1, 2)
+    interp = torch.cat([interp, pts[:, -1:]], dim=1)
+    x = interp[:, :, 0].clamp(0, H - 1).long()
+    y = interp[:, :, 1].clamp(0, W - 1).long()
+    lin = x * W + y
+    counts = torch.zeros(pts.shape[0], H * W)
+    counts.scatter_add_(1, lin, torch.ones_like(lin, dtype=torch.float32))
+    counts[counts > 1] = 1
+    return counts.view(-1, H, W)
+
+
 # ---------------------------------------------------------------------------
 # MultiPosConLoss, single rank (supcon_loss.py:56-116)
 # ---------------------------------------------------------------------------

@@ -437,3 +437,36 @@ def test_expected_svf_golden():
         horizon=8, temperature=0.1)
     np.testing.assert_allclose(np.asarray(mu_s), tmu_s.numpy(),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_rasterize_golden():
+    """Expert rasterization vs the reference's dynamic-max_steps torch
+    oracle: exact match at matched interpolation density, and bounded
+    single-cell corner drift for the static-bound redesign."""
+    from creste_public_tpu.ops.rasterize import rasterize_trajectory
+
+    H, W, ds = 16, 32, 2.0
+    # integer-aligned segments: static max_steps == the dynamic ceil
+    xy = np.array([[[30.0, 8.0], [22.0, 8.0], [22.0, 20.0], [14.0, 28.0]]],
+                  np.float32)
+    ref = tm.torch_compute_expert_visitation(
+        torch.from_numpy(xy), ds, (H, W)).numpy()
+    dyn_steps = int(np.ceil(np.linalg.norm(
+        np.diff(xy / ds, axis=1), axis=-1)).max())
+    ours = np.asarray(rasterize_trajectory(
+        jnp.asarray(xy), ds, (H, W), max_steps=dyn_steps))
+    np.testing.assert_array_equal(ours, ref)
+
+    # realistic trajectories (consecutive BEV poses a few cells apart, the
+    # regime of 10 Hz expert logs): the static-bound rasterizer covers every
+    # reference cell, with only small diagonal corner-cell drift
+    rng = np.random.default_rng(13)
+    steps = rng.uniform(-4, 4, (3, 8, 2)).astype(np.float32)
+    xy = np.cumsum(steps, axis=1) + np.array([16.0, 32.0], np.float32)
+    ref = tm.torch_compute_expert_visitation(
+        torch.from_numpy(xy), ds, (H, W)).numpy()
+    ours = np.asarray(rasterize_trajectory(
+        jnp.asarray(xy), ds, (H, W), max_steps=32))
+    assert ((ref == 1) & (ours == 0)).sum() == 0  # superset coverage
+    extra = ((ours == 1) & (ref == 0)).sum() / max(ref.sum(), 1)
+    assert extra < 0.35, f"corner-cell drift {extra:.2f}"
