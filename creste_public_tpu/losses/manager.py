@@ -147,12 +147,77 @@ class SmoothL1(Loss):
         return {"val": loss}, {}
 
 
+def _bev_overlap_hits(
+    anchor_xy: Array, aug_xy: Array, threshold: float = 1.0, chunk: int = 4096
+) -> Array:
+    """For each aug-view pixel, is ANY anchor pixel within L2 ``threshold``
+    of its BEV coordinate? (train_utils.py:394-401, `patch_dist < 1`.)
+
+    The reference materialises a full [N, N*V] cdist; at feature resolution
+    that is GBs. Same exact semantics here via a chunked running-any scan:
+    memory O(M * chunk) instead of O(M * N).
+
+    Args:
+      anchor_xy: [B, N, 2] anchor-view BEV coords.
+      aug_xy: [B, M, 2] aug-view BEV coords.
+    Returns:
+      [B, M] bool.
+    """
+    B, Na, _ = anchor_xy.shape
+    pad = (-Na) % chunk
+    # inf-padded slots can never fall under the threshold
+    anchor_p = jnp.pad(
+        anchor_xy.astype(jnp.float32),
+        ((0, 0), (0, pad), (0, 0)),
+        constant_values=jnp.inf,
+    )
+    anchor_c = anchor_p.reshape(B, -1, chunk, 2).transpose(1, 0, 2, 3)
+    thr2 = threshold * threshold
+
+    def step(carry, a):  # a: [B, chunk, 2]
+        d2 = jnp.sum(
+            (aug_xy[:, :, None, :].astype(jnp.float32) - a[:, None, :, :]) ** 2,
+            axis=-1,
+        )  # [B, M, chunk]
+        return carry | jnp.any(d2 < thr2, axis=-1), None
+
+    init = jnp.zeros(aug_xy.shape[:2], bool)
+    hits, _ = jax.lax.scan(step, init, anchor_c)
+    return hits
+
+
 class MSELoss(Loss):
-    """Dense feature-distillation MSE — loss_utils.py:606-647."""
+    """Dense feature-distillation MSE — loss_utils.py:606-647.
+
+    ``overlap_only: true`` switches to the BEV-overlap variant
+    (train_utils.py:355-440 compute_pixel_bevoverlap_loss): full MSE on the
+    anchor view plus, per batch element, MSE over aug-view pixels whose BEV
+    coordinate lands within 1 voxel of any anchor pixel — summed (not
+    averaged) over the batch, exactly as the reference accumulates it. A
+    batch element with no overlapping pixels contributes 0 (the reference
+    NaNs there; real multiview batches always overlap).
+    """
 
     def loss(self, td, aux):
         pred = td[self.config["pred_key"]]
         gt = td[self.config["lab_key"]]
+        if self.config.get("overlap_only", False):
+            coords = td[self.config.get("coords_key", "outputs/bev_coords")]
+            B, V, H, W, Z = pred.shape
+            anchor_loss = jnp.mean((pred[:, 0] - gt[:, 0]) ** 2)
+            if V == 1:
+                return {"loss": anchor_loss}, {}
+            coords = coords.reshape(B, V, H * W, 2)
+            hits = _bev_overlap_hits(
+                coords[:, 0], coords[:, 1:].reshape(B, (V - 1) * H * W, 2)
+            )  # [B, (V-1)*H*W]
+            diff2 = (pred[:, 1:] - gt[:, 1:]).reshape(B, -1, Z) ** 2
+            w = hits.astype(jnp.float32)[..., None]
+            # w broadcasts over Z: denominator is (#hit pixels * Z)
+            per_b = jnp.sum(diff2 * w, axis=(1, 2)) / jnp.clip(
+                jnp.sum(w, axis=1)[:, 0] * Z, 1.0, None
+            )
+            return {"loss": jnp.sum(per_b) + anchor_loss}, {}
         valid = ~jnp.isinf(gt)
         gt_safe = jnp.where(valid, gt, 0.0)
         loss = masked_mean((pred - gt_safe) ** 2, valid)

@@ -670,6 +670,56 @@ def test_reference_smooth_l1_depth_loss():
     )
 
 
+def test_reference_mse_overlap_only():
+    """MSELoss overlap_only=True (loss_utils.py:617-647 ->
+    train_utils.py:355-440): anchor-view dense MSE + per-batch-summed MSE
+    over aug pixels whose BEV coord is within 1 of any anchor pixel."""
+    ns = base_ns(DEBUG_LOSS=False, DEBUG_AUGMENTATION=False)
+    overlap_fn, _ = exec_def(
+        "creste/utils/train_utils.py", "compute_pixel_bevoverlap_loss", ns
+    )
+    ns["tu"] = types.SimpleNamespace(compute_pixel_bevoverlap_loss=overlap_fn)
+    exec_def("creste/utils/loss_utils.py", "Loss", ns)
+    mse_cls, _ = exec_def("creste/utils/loss_utils.py", "MSELoss", ns)
+
+    torch.manual_seed(12)
+    B, V, Z, H, W = 2, 3, 4, 8, 10
+    pred = torch.randn(B, V, Z, H, W)
+    gt = torch.randn(B, V, Z, H, W)
+    # BEV coords spread widely so only some aug pixels overlap the anchor
+    coords = torch.rand(B, V, H * W, 2) * 40.0
+
+    cfg = _Cfg(
+        name="MSELoss", pred_key="outputs/dino_pe_feats", lab_key="g",
+        overlap_only=True,
+    )
+    td = {
+        "outputs/dino_pe_feats": pred,
+        "g": gt,
+        "outputs/bev_coords": coords.view(B, V * H * W, 2),
+    }
+    ref_losses, _ = mse_cls(cfg).loss(td)
+    hits_frac = float(
+        (torch.cdist(coords[:, 0], coords[:, 1:].reshape(B, -1, 2)) < 1)
+        .any(dim=1).float().mean()
+    )
+    assert 0.0 < hits_frac < 1.0, "fixture must exercise a partial overlap"
+
+    ours = lm.MSELoss(
+        {"name": "MSELoss", "pred_key": "p", "lab_key": "l",
+         "overlap_only": True, "coords_key": "c"}
+    )
+    j_losses, _ = ours.loss(
+        {"p": jnp.asarray(t2n(pred).transpose(0, 1, 3, 4, 2)),
+         "l": jnp.asarray(t2n(gt).transpose(0, 1, 3, 4, 2)),
+         "c": jnp.asarray(t2n(coords).reshape(B, V * H * W, 2))},
+        {},
+    )
+    np.testing.assert_allclose(
+        float(j_losses["loss"]), float(ref_losses["loss"]), rtol=1e-5, atol=1e-6
+    )
+
+
 @pytest.mark.parametrize("absolute,take_grad", [(True, False), (False, False), (True, True)])
 def test_reference_smooth_l1_loss(absolute, take_grad):
     cls = _exec_loss_class("SmoothL1")
