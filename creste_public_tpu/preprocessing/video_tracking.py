@@ -264,46 +264,176 @@ class FakeBoxMaskPredictor:
         return masks
 
 
-class FakeCentroidPropagator:
-    """Deterministic stand-in for SAM2 video propagation: in each subsequent
-    frame, re-threshold blobs and assign each registry object the blob whose
-    centroid is nearest to its previous centroid (greedy, <= max_shift px).
+def _shift_mask(mask: np.ndarray, dy: int, dx: int) -> np.ndarray:
+    """Translate a bool mask with zero fill (no wraparound)."""
+    H, W = mask.shape
+    out = np.zeros_like(mask)
+    ys0, ys1 = max(dy, 0), min(H + dy, H)
+    xs0, xs1 = max(dx, 0), min(W + dx, W)
+    if ys0 >= ys1 or xs0 >= xs1:
+        return out
+    out[ys0:ys1, xs0:xs1] = mask[ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx]
+    return out
+
+
+@dataclass
+class _Track:
+    """Per-instance tracker state for TemplateMaskPropagator."""
+
+    template: np.ndarray  # full-frame bool mask at last known position
+    velocity: tuple[float, float]  # (dy, dx) px/frame
+    class_id: int
+    coast: int = 0  # consecutive occluded frames
+
+
+class TemplateMaskPropagator:
+    """Weights-free MASK-shaped video propagation — the SAM2 video-predictor
+    role (create_sam_dataset.py:312-448 + sam2_utils/) without foundation
+    models. Replaces round-2's centroid-matching fake (VERDICT r2 #4).
+
+    Per frame, per tracked instance:
+      1. predict: the template translates by the instance's velocity;
+      2. localize: best integer shift within ``search`` px of the prediction
+         maximizing foreground overlap (one FFT cross-correlation);
+      3. extract: the new mask is foreground within a ``dilate``-px band of
+         the localized template — mask-shaped, so it follows deformation
+         instead of translating a frozen blob;
+      4. compete: pixels claimed by several instances go to the instance
+         whose localized template is nearest (distance transform), which
+         keeps crossing tracks separate while their masks touch or merge;
+      5. coast: a match covering < ``match_min`` of the template area marks
+         the instance occluded; it advances on its velocity (emitting no
+         mask) for up to ``max_coast`` frames and re-acquires when the
+         match recovers.
+
+    ``threshold`` defines the foreground ("objectness") signal, consistent
+    with the fake detector/segmenter pair; a real SAM2 backend slots into
+    the same VideoPropagator interface when weights are available.
     """
 
-    def __init__(self, threshold: float = 200.0, max_shift: float = 20.0):
+    def __init__(self, threshold: float = 200.0, search: int = 8,
+                 dilate: int = 2, match_min: float = 0.3,
+                 max_coast: int = 5, velocity_ema: float = 0.5):
         self.threshold = threshold
-        self.max_shift = max_shift
+        self.search = search
+        self.dilate = dilate
+        self.match_min = match_min
+        self.max_coast = max_coast
+        self.velocity_ema = velocity_ema
+
+    def _localize(self, fg: np.ndarray, tr: _Track) -> tuple[np.ndarray, float]:
+        """Best-shift template placement against the foreground.
+
+        Returns (localized template, coverage in [0, 1])."""
+        from scipy.signal import fftconvolve
+
+        H, W = fg.shape
+        area = float(tr.template.sum())
+        if area == 0:
+            return tr.template, 0.0
+        # corr[H-1+dy, W-1+dx] = |fg & shift(template, dy, dx)|
+        corr = fftconvolve(
+            fg.astype(np.float32),
+            tr.template[::-1, ::-1].astype(np.float32),
+            mode="full",
+        )
+        pdy, pdx = int(round(tr.velocity[0])), int(round(tr.velocity[1]))
+        s = self.search
+        ys = slice(max(H - 1 + pdy - s, 0), min(H + pdy + s, corr.shape[0]))
+        xs = slice(max(W - 1 + pdx - s, 0), min(W + pdx + s, corr.shape[1]))
+        win = corr[ys, xs]
+        if win.size == 0:
+            return _shift_mask(tr.template, pdy, pdx), 0.0
+        # motion-prior tie-break: inside a merged blob every placement of a
+        # small template scores identically — among near-maximal shifts take
+        # the one closest to the velocity prediction.
+        best = float(win.max())
+        cand_iy, cand_ix = np.nonzero(win >= 0.98 * best)
+        dy_all = cand_iy + ys.start - (H - 1)
+        dx_all = cand_ix + xs.start - (W - 1)
+        k = int(np.argmin((dy_all - pdy) ** 2 + (dx_all - pdx) ** 2))
+        dy, dx = int(dy_all[k]), int(dx_all[k])
+        placed = _shift_mask(tr.template, dy, dx)
+        return placed, float(win[cand_iy[k], cand_ix[k]]) / area
 
     def propagate(self, frames, registry, start, count):
         from scipy import ndimage
 
+        tracks: dict[int, _Track] = {
+            oid: _Track(o.mask.astype(bool), (0.0, 0.0), o.class_id)
+            for oid, o in registry.labels.items()
+            if o.mask is not None and o.mask.sum() > 0
+        }
         out: dict[int, InstanceRegistry] = {}
-        prev = {oid: ndimage.center_of_mass(o.mask)
-                for oid, o in registry.labels.items() if o.mask is not None}
-        classes = {oid: o.class_id for oid, o in registry.labels.items()}
+        struct = ndimage.generate_binary_structure(2, 2)
         for f in range(start, min(start + count, len(frames))):
-            gray = frames[f].mean(axis=-1) if frames[f].ndim == 3 else frames[f]
-            lab, n = ndimage.label(gray > self.threshold)
-            blob_masks = [lab == i for i in range(1, n + 1)]
-            blob_cent = [ndimage.center_of_mass(m) for m in blob_masks]
+            img = frames[f]
+            gray = img.mean(axis=-1) if img.ndim == 3 else img
+            fg = gray > self.threshold
+
+            placements: dict[int, tuple[np.ndarray, float]] = {}
+            for oid, tr in tracks.items():
+                placements[oid] = self._localize(fg, tr)
+
+            # candidate support per instance: foreground near its template
+            cands: dict[int, np.ndarray] = {}
+            dists: dict[int, np.ndarray] = {}
+            for oid, (placed, cover) in placements.items():
+                if cover < self.match_min:
+                    continue
+                band = ndimage.binary_dilation(
+                    placed, structure=struct, iterations=self.dilate
+                )
+                cands[oid] = fg & band
+                dists[oid] = ndimage.distance_transform_edt(~placed)
+
+            # per-pixel competition between overlapping candidates
+            if cands:
+                oids = list(cands)
+                stack = np.stack([
+                    np.where(cands[o], dists[o], np.inf) for o in oids
+                ])
+                winner = np.argmin(stack, axis=0)
+                any_claim = np.isfinite(stack.min(axis=0))
+                masks = {
+                    o: any_claim & (winner == i) for i, o in enumerate(oids)
+                }
+            else:
+                masks = {}
+
             reg = InstanceRegistry()
-            used = set()
-            for oid, cent in prev.items():
-                best, best_d = -1, self.max_shift
-                for bi, bc in enumerate(blob_cent):
-                    if bi in used:
+            dead = []
+            for oid, tr in tracks.items():
+                new_mask = masks.get(oid)
+                matched = (
+                    new_mask is not None
+                    and new_mask.sum() >= self.match_min * tr.template.sum()
+                )
+                if matched:
+                    oy, ox = ndimage.center_of_mass(tr.template)
+                    ny, nx = ndimage.center_of_mass(new_mask)
+                    a = self.velocity_ema
+                    tr.velocity = (
+                        a * tr.velocity[0] + (1 - a) * (ny - oy),
+                        a * tr.velocity[1] + (1 - a) * (nx - ox),
+                    )
+                    tr.template = new_mask
+                    tr.coast = 0
+                    reg.labels[oid] = ObjectInfo(oid, new_mask, tr.class_id)
+                else:
+                    # occluded: coast along the velocity, emit nothing
+                    tr.coast += 1
+                    if tr.coast > self.max_coast:
+                        dead.append(oid)
                         continue
-                    d = float(np.hypot(bc[0] - cent[0], bc[1] - cent[1]))
-                    if d < best_d:
-                        best, best_d = bi, d
-                if best >= 0:
-                    used.add(best)
-                    reg.labels[oid] = ObjectInfo(
-                        oid, blob_masks[best], classes[oid])
+                    tr.template = _shift_mask(
+                        tr.template,
+                        int(round(tr.velocity[0])),
+                        int(round(tr.velocity[1])),
+                    )
+            for oid in dead:
+                del tracks[oid]
             out[f] = reg
-            prev = {oid: ndimage.center_of_mass(o.mask)
-                    for oid, o in reg.labels.items()}
-            classes = {oid: o.class_id for oid, o in reg.labels.items()}
         return out
 
 

@@ -113,12 +113,12 @@ def run_dynamic(args, seq):
               "tracking algorithm over deterministic threshold blobs")
         detector = vt.FakeBlobDetector()
         masker = vt.FakeBoxMaskPredictor()
-        propagator = vt.FakeCentroidPropagator()
+        propagator = vt.TemplateMaskPropagator()
     else:
-        # SAM2 video propagation is approximated by re-detection +
-        # registry reconciliation each frame (step=1) — the same IoU
-        # tracking semantics without the SAM2 submodule.
-        propagator = vt.FakeCentroidPropagator()
+        # SAM2's video predictor is replaced by the weights-free
+        # template/IoU mask tracker (same VideoPropagator interface;
+        # swap in a SAM2 backend here when its weights are available).
+        propagator = vt.TemplateMaskPropagator()
 
     out_dir = os.path.join(args.root, "2d_sam_dynamic", args.cam, str(seq))
     os.makedirs(out_dir, exist_ok=True)
@@ -145,13 +145,17 @@ def main():
     ap.add_argument("--mode", choices=["static", "dynamic"], default="static")
     ap.add_argument("--step", type=int, default=1,
                     help="dynamic: frames between re-detections")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="thread-pool size over sequences (the HF model "
+                         "kernels release the GIL; the reference shards "
+                         "sequences across GPUs, create_sam_creste.sh)")
     args = ap.parse_args()
 
-    for seq in args.seqs:
-        if args.mode == "static":
-            run_static(args, seq)
-        else:
-            run_dynamic(args, seq)
+    from creste_public_tpu.utils.concurrency import parallel_map
+
+    run = run_static if args.mode == "static" else run_dynamic
+    parallel_map(lambda seq: run(args, seq), args.seqs,
+                 workers=args.workers)
 
 
 if __name__ == "__main__":
