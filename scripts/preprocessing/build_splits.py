@@ -9,6 +9,21 @@ import argparse
 import os
 
 
+def classify_seq(job):
+    """(root, seq, horizon, min_distance, curved_threshold) -> per-seq
+    classification. Module-level: the Hausdorff curvature scan is pure
+    NumPy (GIL-bound), so the pool runs in process mode (reference
+    Pool(24))."""
+    root, seq, horizon, min_distance, curved_threshold = job
+    from creste_public_tpu.data.calib import load_poses
+    from creste_public_tpu.preprocessing import splits as sp
+
+    mats = load_poses(root, seq)
+    return seq, sp.classify_curvature(
+        mats, range(len(mats)), horizon, min_distance, curved_threshold
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True)
@@ -17,18 +32,19 @@ def main():
     ap.add_argument("--min_distance", type=float, default=3.0)
     ap.add_argument("--curved_threshold", type=float, default=0.5)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--workers", type=int, default=1,
+                    help="process-pool size over sequences")
     args = ap.parse_args()
 
-    from creste_public_tpu.data.calib import load_poses
     from creste_public_tpu.preprocessing import splits as sp
+    from creste_public_tpu.utils.concurrency import parallel_map
 
+    jobs = [(args.root, seq, args.horizon, args.min_distance,
+             args.curved_threshold) for seq in args.seqs]
+    results = parallel_map(classify_seq, jobs, workers=args.workers,
+                           mode="process")
     samples, dists = [], {}
-    for seq in args.seqs:
-        mats = load_poses(args.root, seq)
-        curved, straight, d = sp.classify_curvature(
-            mats, range(len(mats)), args.horizon, args.min_distance,
-            args.curved_threshold,
-        )
+    for seq, (curved, straight, d) in results:
         samples += [(seq, f) for f in curved + straight]
         dists.update({f: v for f, v in d.items()})
     parts = sp.train_val_test(samples)
