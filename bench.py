@@ -25,7 +25,11 @@ from __future__ import annotations
 import argparse
 import json
 
-from creste_public_tpu.runtime.benchmark import serialized_latency
+from creste_public_tpu.runtime.benchmark import (
+    cost_stats,
+    mfu_fields,
+    serialized_latency,
+)
 
 BASELINE_HZ = 20.0  # reference: 20 Hz on a laptop GPU (README.md:18)
 
@@ -57,6 +61,14 @@ def main() -> None:
         "per_frame_ms": round(per_frame * 1e3, 3),
         "tunnel_call_ms": round(single_call * 1e3, 2),
     }
+
+    # MFU / roofline accounting (VERDICT r2 #3): analytical FLOPs + bytes
+    # from the compiled executable vs the measured latency.
+    try:
+        cs = cost_stats(fn, variables, rgbd, p2p)
+        line.update(mfu_fields(cs["flops"], cs["bytes"], per_frame))
+    except Exception as e:  # cost_analysis unavailable on some backends
+        line["cost_analysis_error"] = str(e)[:120]
 
     if args.bf16:
         from creste_public_tpu.runtime.precision import (

@@ -78,3 +78,40 @@ def serialized_latency(
         medians[n] = float(np.median(ts))
     per_frame = (medians[n_long] - medians[1]) / (n_long - 1)
     return per_frame, medians[1]
+
+
+# TPU v5e single-chip peaks (public spec): 197 TFLOP/s bf16 MXU,
+# 819 GB/s HBM bandwidth. f32 convs/matmuls on v5e execute through the
+# bf16 MXU at roughly half rate; we report MFU against the bf16 peak
+# (the conservative denominator) and note the f32 factor separately.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def cost_stats(fn: Callable, *args) -> dict:
+    """Analytical per-execution cost from the compiled executable:
+    {'flops': ..., 'bytes': ...} via XLA's cost_analysis."""
+    import jax
+
+    compiled = jax.jit(fn).lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+        ca = ca[0]
+    return {
+        "flops": float(ca.get("flops", 0.0)),
+        "bytes": float(ca.get("bytes accessed", 0.0)),
+    }
+
+
+def mfu_fields(flops: float, bytes_: float, seconds: float) -> dict:
+    """Roofline summary fields for a measured per-execution latency."""
+    achieved = flops / seconds
+    bw = bytes_ / seconds
+    return {
+        "flops_per_frame": round(flops / 1e9, 3),  # GFLOP
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "mfu_vs_bf16_peak": round(achieved / V5E_PEAK_BF16_FLOPS, 4),
+        "hbm_gbps": round(bw / 1e9, 1),
+        "hbm_bw_util": round(bw / V5E_HBM_BYTES_PER_S, 4),
+        "arith_intensity": round(flops / max(bytes_, 1.0), 2),
+    }

@@ -81,6 +81,16 @@ def main():
           f"batch={args.batch}: "
           f"{p50:.1f} ms p50 -> {args.batch * 1000.0 / p50:.1f} samples/s")
 
+    # MFU / roofline accounting (VERDICT r2 #3)
+    from creste_public_tpu.runtime.benchmark import cost_stats, mfu_fields
+
+    try:
+        cs = cost_stats(lambda s, b, r: step(s, b, r), state, sb, rng)
+        fields = mfu_fields(cs["flops"], cs["bytes"], p50 / 1e3)
+        print("train-step cost:", fields)
+    except Exception as e:
+        print("cost_analysis unavailable:", str(e)[:120])
+
 
 if __name__ == "__main__":
     main()
