@@ -40,6 +40,13 @@ def main():
                     help="pickle with {'rgbd': [1,1,4,H,W] or NHWC, 'p2p'}")
     ap.add_argument("--expected", default=None,
                     help="pickle of reference output arrays to diff against")
+    ap.add_argument("--trace", action="store_true",
+                    help="--ckpt is a TorchScript TRACE (the released "
+                         "artifact format, download_weights.sh:20-21): "
+                         "weights come from the trace's state_dict and, "
+                         "unless --expected is given, the trace itself is "
+                         "EXECUTED on the sample to produce the reference "
+                         "outputs")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--tol", type=float, default=1e-3)
     args = ap.parse_args()
@@ -76,7 +83,16 @@ def main():
 
     variables = model.init({"params": jax.random.PRNGKey(0)}, rgbd, p2p)
 
-    sd = load_torch_state_dict(args.ckpt)
+    traced = None
+    if args.trace:
+        import torch
+
+        traced = torch.jit.load(args.ckpt, map_location="cpu")
+        traced.eval()
+        sd = {k: np.asarray(v.detach())
+              for k, v in traced.state_dict().items()}
+    else:
+        sd = load_torch_state_dict(args.ckpt)
     params, stats, unmatched = convert_torch_state_dict(sd)
     if unmatched:
         print(f"WARNING: {len(unmatched)} unmatched torch keys, e.g.:")
@@ -91,9 +107,28 @@ def main():
     out = {k: np.asarray(v) for k, v in out.items()
            if hasattr(v, "shape")}
 
+    expected = None
     if args.expected:
         with open(args.expected, "rb") as f:
             expected = pickle.load(f)
+    elif traced is not None:
+        # the trace IS the reference: execute it on the sample
+        import torch
+
+        rgbd_t = torch.from_numpy(
+            np.transpose(rgbd, (0, 1, 4, 2, 3))  # NHWC -> [B, 1, 4, H, W]
+        )
+        with torch.no_grad():
+            tout = traced(rgbd_t, torch.from_numpy(p2p))
+        compare_keys = (
+            "traversability_preds", "traversability_preds_full",
+            "inpainting_sam_preds", "inpainting_sam_dynamic_preds",
+            "elevation_preds", "depth_preds_metric",
+        )
+        expected = {k: v.numpy() for k, v in tout.items()
+                    if k in compare_keys and hasattr(v, "numpy")}
+
+    if expected is not None:
         worst = 0.0
         for k, ref in expected.items():
             if k not in out:

@@ -101,3 +101,53 @@ def test_parity_check_cli_with_torch_checkpoint(tmp_path, capsys, monkeypatch):
     printed = capsys.readouterr().out
     assert "FAIL" not in printed
     assert "worst deviation" in printed
+
+
+def test_parity_check_cli_with_torchscript_trace(tmp_path, capsys, monkeypatch):
+    """The RELEASED artifact is a TorchScript trace, not a state_dict
+    (download_weights.sh:20-21). `parity_check.py --trace` must pull the
+    weights out of the trace's state_dict AND execute the trace itself as
+    the reference output (VERDICT r2 #7)."""
+    from tests.test_golden_torch import make_inputs, randomize_variables
+
+    cfg = presets.tiny_traversability_config()
+    cfg_d = cfg.to_dict()
+    cfg_d["solve_mdp"] = False
+
+    model = MaxEntIRL(cfg_d)
+    rgbd, p2p = make_inputs(cfg.vision_backbone)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(rgbd), jnp.asarray(p2p), None, False)
+    variables = randomize_variables(variables, seed=23)
+
+    mirror = tm.TorchMaxEntIRLReward(cfg_d)
+    tm.load_exported_state_dict(mirror, export_torch_style(variables))
+    mirror.eval()
+
+    # trace exactly as the reference compiles (compile.py:197: strict=False
+    # because the output is a dict)
+    rgbd_t = torch.from_numpy(
+        np.transpose(rgbd, (0, 1, 4, 2, 3))).contiguous()
+    p2p_t = torch.from_numpy(p2p)
+    with torch.no_grad():
+        traced = torch.jit.trace(mirror, (rgbd_t, p2p_t), strict=False)
+    trace_path = tmp_path / "creste_rgbd_trace.pt"
+    torch.jit.save(traced, str(trace_path))
+
+    sample_path = tmp_path / "sample.pkl"
+    with open(sample_path, "wb") as f:
+        pickle.dump({"rgbd": rgbd, "p2p": p2p}, f)
+
+    sys.path.insert(0, "scripts/runtime")
+    import importlib
+
+    parity_check = importlib.import_module("parity_check")
+    monkeypatch.setattr(sys, "argv", [
+        "parity_check.py", "--ckpt", str(trace_path), "--trace", "--tiny",
+        "--sample", str(sample_path),
+    ])
+    parity_check.main()
+    printed = capsys.readouterr().out
+    assert "FAIL" not in printed
+    assert "traversability_preds" in printed
+    assert "worst deviation" in printed
