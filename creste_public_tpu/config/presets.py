@@ -349,6 +349,23 @@ def tiny_kwargs() -> dict:
     )
 
 
+def tiny_depth_config() -> Config:
+    """Stage-0 depth-only miniature (configs/model/distillation/
+    depth_only.yaml shapes, CPU-friendly)."""
+    base = distillation_model_config(**tiny_kwargs())
+    base["project_name"] = "DepthCompletion"
+    del base["distillation_head"]
+    base["loss"] = [lc for lc in base["loss"] if lc["name"] != "MSELoss"]
+    return base
+
+
+def tiny_pefree_config() -> Config:
+    """Stage-1 PE-free multiview miniature (V=2 views)."""
+    return distillation_pefree_config(
+        grid=32, map_range=1.6, num_views=1, z_embed_dim=8, **tiny_kwargs()
+    )
+
+
 def tiny_terrainnet_config() -> Config:
     return terrainnet_model_config(
         grid=32,
