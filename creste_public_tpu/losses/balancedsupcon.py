@@ -62,29 +62,37 @@ def bal_contrastive_loss(
     posmask = (labels[:, None] == labels[None, :]) & ~eye & pair_valid
     negmask = ~(labels[:, None] == labels[None, :]) & ~eye & pair_valid
 
-    # lsup: denominator = own exp + sum of negatives
+    # lsup: denominator = own exp + sum of negatives; rows with no positive
+    # contribute 0 but stay in the mean denominator (reference
+    # mean_log_prob_pos.view(B,1).mean(), balancedsupcon_loss.py:119-124)
     o_neg = jnp.sum(exp_logits * negmask, axis=1, keepdims=True)
     log_prob = logits - jnp.log(exp_logits + o_neg + 1e-12)
     n_pos = jnp.maximum(posmask.sum(1), 1)
     mean_log_prob_pos = (log_prob * posmask).sum(1) / n_pos
     row_ok = valid & (posmask.sum(1) > 0)
     lsup = -jnp.sum(mean_log_prob_pos * row_ok) / jnp.maximum(
-        row_ok.sum(), 1
+        valid.sum(), 1
     )
 
-    # lspread: anchors vs their own augmented views
+    # lspread (balancedsupcon_loss.py:126-139), reproduced EXACTLY as the
+    # reference executes it, including two quirks pinned by
+    # tests/test_reference_exec.py::test_reference_bal_contrastive_loss:
+    #   (a) augment columns are view-major (cat of unbind) but the augmask
+    #       indexes sample-major ((j // (V-1)) % B) — anchor b is paired
+    #       with view-1 features of samples (b(V-1))%B, (b(V-1)+1)%B, ...;
+    #   (b) the normalizer is logsumexp over logits*posmask — zeroed
+    #       non-positive entries still contribute exp(0) to the LSE.
     if V > 1:
         auglogits = anchor @ augment.T / temperature
         auglogits = auglogits - jax.lax.stop_gradient(
             jnp.max(auglogits, axis=1, keepdims=True)
         )
         cols = B * (V - 1)
-        col_owner = jnp.arange(cols) % B  # view v of sample b sits at v*B + b
-        augmask = col_owner[None, :] == jnp.arange(B)[:, None]
-        pos_lse = jax.nn.logsumexp(
-            jnp.where(posmask, logits, -jnp.inf), axis=1, keepdims=True
-        )
-        pos_lse = jnp.where(jnp.isfinite(pos_lse), pos_lse, 0.0)
+        mask_owner = (jnp.arange(cols) // (V - 1)) % B
+        augmask = mask_owner[None, :] == jnp.arange(B)[:, None]
+        col_valid = valid[jnp.arange(cols) % B]  # actual view-major owner
+        augmask = augmask & col_valid[None, :]
+        pos_lse = jax.nn.logsumexp(logits * posmask, axis=1, keepdims=True)
         log_prob_sp = (auglogits - pos_lse) * augmask * valid[:, None]
         lspread = -jnp.sum(log_prob_sp) / jnp.maximum(valid.sum(), 1)
     else:

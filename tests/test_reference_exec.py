@@ -747,3 +747,167 @@ def test_reference_smooth_l1_loss(absolute, take_grad):
     np.testing.assert_allclose(
         float(j_losses["val"]), float(ref_losses["val"]), atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining loss families (loss_utils.py:650-734, 379-474, 1261-1404;
+# balancedsupcon_loss.py) — instantiate the extracted reference classes
+# ---------------------------------------------------------------------------
+
+
+def test_reference_pefree_mse_loss():
+    ns = base_ns(DEBUG_LOSS=False)
+    exec_def("creste/utils/loss_utils.py", "Loss", ns)
+    cls, _ = exec_def("creste/utils/loss_utils.py", "PEFreeMSELoss", ns)
+    torch.manual_seed(13)
+    B, V, Z, H, W = 2, 3, 6, 10, 12
+    pred = torch.randn(B * V, Z, H, W)
+    density = torch.rand(B * V, 1, H, W) * 2.0
+    cfg = _Cfg(name="PEFreeMSELoss", pred_key="p", lab_key="d",
+               num_views=V - 1, density_threshold=1e-3)
+    ref_losses, _ = cls(cfg).loss({"p": pred, "d": density})
+
+    ours = lm.PEFreeMSELoss(
+        {"name": "PEFreeMSELoss", "pred_key": "p", "lab_key": "d",
+         "num_views": V - 1, "density_threshold": 1e-3}
+    )
+    j_losses, _ = ours.loss(
+        {"p": jnp.asarray(t2n(pred).transpose(0, 2, 3, 1)),
+         "d": jnp.asarray(t2n(density).transpose(0, 2, 3, 1))},
+        {},
+    )
+    np.testing.assert_allclose(
+        float(j_losses["loss"]), float(ref_losses["loss"]), rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("variant", ["count_bins", "class_dim_weighted"])
+def test_reference_bev_cross_entropy_loss(variant, tmp_path):
+    ns = base_ns(DEBUG_LOSS=False)
+    exec_def("creste/utils/loss_utils.py", "Loss", ns)
+    cls, _ = exec_def("creste/utils/loss_utils.py", "CrossEntropy", ns)
+    torch.manual_seed(14)
+    B, C, H, W = 2, 6, 12, 16
+    pred = torch.randn(B, C, H, W)
+    fov = torch.rand(B, H, W) > 0.3
+    cfg = dict(name="CrossEntropy", num_class=C, pred_key="p", lab_key="l",
+               mask_key="m", task="3d_ssc")
+    if variant == "count_bins":
+        gt = torch.randint(0, 5, (B, C, H, W)).float()  # count bins
+        cfg["ignore_index"] = 0
+        cfg["class_dim"] = -1
+    else:
+        ids = torch.randint(0, C, (B, H, W)).float()
+        gt = torch.stack([torch.zeros_like(ids), ids], dim=1)  # [B, 2, H, W]
+        cfg["class_dim"] = 1
+        wfile = tmp_path / "w.txt"
+        np.savetxt(wfile, np.linspace(10.0, 60.0, C))
+        cfg["class_weights"] = str(wfile)
+    td = {"p": pred, "l": gt, "m": fov}
+    ref_losses, ref_meta = cls(_Cfg(cfg)).loss(td)
+
+    ours = lm.CrossEntropy(dict(cfg))
+    j_losses, j_meta = ours.loss(
+        {"p": jnp.asarray(t2n(pred).transpose(0, 2, 3, 1)),
+         "l": jnp.asarray(t2n(gt).transpose(0, 2, 3, 1)),
+         "m": jnp.asarray(t2n(fov))},
+        {},
+    )
+    (ref_loss,) = ref_losses.values()
+    (j_loss,) = j_losses.values()
+    np.testing.assert_allclose(float(j_loss), float(ref_loss), rtol=1e-5,
+                               atol=1e-6)
+    (ref_acc,) = ref_meta.values()
+    (j_acc,) = j_meta.values()
+    np.testing.assert_allclose(float(j_acc), float(ref_acc), atol=1e-5)
+
+
+def test_reference_bc_action_loss():
+    ns = base_ns()
+    exec_def("creste/utils/loss_utils.py", "Loss", ns)
+    cls, _ = exec_def("creste/utils/loss_utils.py", "BCActionLoss", ns)
+    torch.manual_seed(15)
+    B, T = 3, 8
+    pred = torch.rand(B, T, 8) * 0.98 + 0.01  # valid BCE probabilities
+    gt = torch.eye(3).repeat(B, T, 1, 1)
+    walk = torch.cumsum(torch.randint(-1, 2, (B, T, 2)).float(), dim=1)
+    gt[:, :, 0, 2] = walk[..., 0]
+    gt[:, :, 1, 2] = walk[..., 1]
+    cfg = _Cfg(name="BCActionLoss", pred_key="p", lab_key="l", fov_key="f")
+    ref_losses, _ = cls(cfg).loss({"p": pred, "l": gt, "f": None})
+
+    ours = lm.BCActionLoss(
+        {"name": "BCActionLoss", "pred_key": "p", "lab_key": "l"}
+    )
+    j_losses, _ = ours.loss(
+        {"p": jnp.asarray(t2n(pred)), "l": jnp.asarray(t2n(gt))}, {}
+    )
+    np.testing.assert_allclose(
+        float(j_losses["bc_action_loss"]),
+        float(ref_losses["bc_action_loss"]), rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_reference_trex_loss():
+    ns = base_ns()
+    exec_def("creste/utils/loss_utils.py", "Loss", ns)
+    cls, _ = exec_def("creste/utils/loss_utils.py", "TREXLoss", ns)
+    torch.manual_seed(16)
+    B, N, T, H, W = 2, 3, 6, 16, 24
+    pred = torch.randn(B, 1, H, W)
+    # one preferred (rank 0) per sample -> the reference's repeat-pairing
+    # equals the full cartesian product
+    rng = np.random.default_rng(16)
+    cf = []
+    for b in range(B):
+        cf.append({
+            "trajectories": rng.uniform(0, 2 * min(H, W), (N, T, 2)),
+            "rank": np.array([0, 1, 2]),
+        })
+    cfg = _Cfg(name="TREXLoss", pred_key="p", lab_key="c", fov_key="f",
+               map_ds=2, map_sz=[H, W], l1_reg=0.1)
+    ref_losses, _ = cls(cfg).loss({"p": pred, "c": cf, "f": None})
+
+    ours = lm.TREXLoss(
+        {"name": "TREXLoss", "pred_key": "p", "lab_key": "c",
+         "map_ds": 2, "map_sz": [H, W], "l1_reg": 0.1}
+    )
+    cf_padded = {
+        "trajectories": jnp.asarray(
+            np.stack([c["trajectories"] for c in cf]), jnp.float32),
+        "rank": jnp.asarray(np.stack([c["rank"] for c in cf])),
+        "valid": jnp.ones((B, N), bool),
+    }
+    j_losses, _ = ours.loss(
+        {"p": jnp.asarray(t2n(pred).transpose(0, 2, 3, 1)), "c": cf_padded},
+        {},
+    )
+    np.testing.assert_allclose(
+        float(j_losses["trex_loss"]), float(ref_losses["trex_loss"]),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("loss_type", ["l_spread", "sup_con"])
+def test_reference_bal_contrastive_loss(loss_type):
+    from creste_public_tpu.losses.balancedsupcon import bal_contrastive_loss
+
+    ns = base_ns()
+    for name in ("UnagiLoss", "UnagiContrastiveLoss", "weighted_logsumexp",
+                 "BalContrastiveLoss"):
+        exec_def("creste/models/losses/balancedsupcon_loss.py", name, ns)
+    torch.manual_seed(17)
+    B, V, Z = 12, 3, 8
+    feats = torch.nn.functional.normalize(torch.randn(B, V, Z), dim=-1)
+    labels = torch.randint(0, 3, (B,))
+    ref_loss = ns["BalContrastiveLoss"](views=V, type=loss_type, temp=0.5)(
+        feats, labels
+    )
+
+    j_loss = bal_contrastive_loss(
+        jnp.asarray(t2n(feats)), jnp.asarray(t2n(labels)),
+        temperature=0.5, loss_type=loss_type,
+    )
+    np.testing.assert_allclose(float(j_loss), float(ref_loss), rtol=1e-5,
+                               atol=1e-6)
