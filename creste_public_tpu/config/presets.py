@@ -349,6 +349,16 @@ def tiny_kwargs() -> dict:
     )
 
 
+def _shrink_trunk(cfg: Config) -> Config:
+    """Cap the EffNet trunk at 1 block/stage in tiny test configs: same
+    endpoint pyramid, channels and strides, ~2x fewer ops to compile."""
+    vb = cfg["vision_backbone"]
+    while "effnet_cfgs" not in vb:
+        vb = vb["vision_backbone"]
+    vb["effnet_cfgs"]["stage_repeats"] = 1
+    return cfg
+
+
 def tiny_depth_config() -> Config:
     """Stage-0 depth-only miniature (configs/model/distillation/
     depth_only.yaml shapes, CPU-friendly)."""
@@ -356,18 +366,18 @@ def tiny_depth_config() -> Config:
     base["project_name"] = "DepthCompletion"
     del base["distillation_head"]
     base["loss"] = [lc for lc in base["loss"] if lc["name"] != "MSELoss"]
-    return base
+    return _shrink_trunk(base)
 
 
 def tiny_pefree_config() -> Config:
     """Stage-1 PE-free multiview miniature (V=2 views)."""
-    return distillation_pefree_config(
+    return _shrink_trunk(distillation_pefree_config(
         grid=32, map_range=1.6, num_views=1, z_embed_dim=8, **tiny_kwargs()
-    )
+    ))
 
 
 def tiny_terrainnet_config() -> Config:
-    return terrainnet_model_config(
+    return _shrink_trunk(terrainnet_model_config(
         grid=32,
         map_range=1.6,
         inpainting_sam_dim=8,
@@ -375,11 +385,11 @@ def tiny_terrainnet_config() -> Config:
         z_embed_dim=8,
         bev_feat_dim=16,
         **tiny_kwargs(),
-    )
+    ))
 
 
 def tiny_traversability_config() -> Config:
-    return traversability_model_config(
+    return _shrink_trunk(traversability_model_config(
         grid=32,
         map_range=1.6,
         map_ds=2,
@@ -389,4 +399,4 @@ def tiny_traversability_config() -> Config:
         z_embed_dim=8,
         bev_feat_dim=16,
         **tiny_kwargs(),
-    )
+    ))

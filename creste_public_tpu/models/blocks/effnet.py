@@ -127,6 +127,9 @@ class EfficientNetB0Trunk(nn.Module):
     image_size: tuple[int, int] = (512, 612)
     remat: bool = False  # checkpoint each MBConv block (activation memory
     # for FLOPs — jax.checkpoint; enables ~2x larger train batches)
+    stage_repeats: int | None = None  # cap per-stage block repeats (None =
+    # the full b0 depth; tests use 1 to cut compile time — endpoints and
+    # channel pyramid are unchanged since stage output channels/strides stay)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> dict[str, Array]:
@@ -142,6 +145,8 @@ class EfficientNetB0Trunk(nn.Module):
         blocks = []
         nominal = (112, 112)
         for (rep, k, s, e, cin, cout) in B0_STAGES:
+            if self.stage_repeats is not None:
+                rep = min(rep, self.stage_repeats)
             for r in range(rep):
                 stride = s if r == 0 else 1
                 in_ch = cin if r == 0 else cout
@@ -203,12 +208,13 @@ class EffNet(nn.Module):
     downsample: int = 4
     apply_final_batch_norm: bool = False
     remat: bool = False
+    stage_repeats: int | None = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False):
         endpoints = EfficientNetB0Trunk(
             self.in_channels, tuple(self.image_size), remat=self.remat,
-            name="trunk",
+            stage_repeats=self.stage_repeats, name="trunk",
         )(x, train)
         endpoints["reduction_0"] = x
 

@@ -37,6 +37,7 @@ class VisionEncoder(nn.Module):
             image_size=tuple(eff["image_size"]),
             downsample=int(eff["downsample"]),
             remat=bool(eff.get("remat", False)),
+            stage_repeats=eff.get("stage_repeats", None),
             name="effnet",
         )(x, train)
         return y

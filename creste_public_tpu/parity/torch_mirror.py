@@ -116,7 +116,7 @@ class TorchEffNetTrunk(nn.Module):
     effnet.py:41-44) + 16 MBConv blocks on the 224-nominal padding chain, with
     efficientnet_pytorch's extract_endpoints semantics."""
 
-    def __init__(self, in_ch=4, image_size=(512, 612)):
+    def __init__(self, in_ch=4, image_size=(512, 612), stage_repeats=None):
         super().__init__()
         self._conv_stem = Conv2dStaticSamePadding(
             in_ch, 32, 3, stride=2, image_size=image_size)
@@ -124,6 +124,8 @@ class TorchEffNetTrunk(nn.Module):
         blocks = []
         nominal = (112, 112)  # 224-chain after the stride-2 stem
         for (rep, k, s, e, cin, cout) in B0_STAGES:
+            if stage_repeats is not None:
+                rep = min(rep, stage_repeats)
             for r in range(rep):
                 stride = s if r == 0 else 1
                 blocks.append(TorchMBConvBlock(
@@ -172,9 +174,10 @@ class TorchEffNet(nn.Module):
 
     def __init__(self, inC, outC, image_size, downsample,
                  return_2nd_last_layer_output=True,
-                 apply_final_batch_norm=False):
+                 apply_final_batch_norm=False, stage_repeats=None):
         super().__init__()
-        self.trunk = TorchEffNetTrunk(inC, tuple(image_size))
+        self.trunk = TorchEffNetTrunk(inC, tuple(image_size),
+                                      stage_repeats=stage_repeats)
         channels = [320, 112, 40, 24, 16, inC]
 
         scaled = [tuple(image_size)]
@@ -226,7 +229,8 @@ class TorchVisionEncoder(nn.Module):
             inC=int(eff["in_channels"]), outC=int(eff["out_channels"]),
             image_size=tuple(eff["image_size"]),
             downsample=int(eff["downsample"]),
-            return_2nd_last_layer_output=False)
+            return_2nd_last_layer_output=False,
+            stage_repeats=eff.get("stage_repeats", None))
 
     def forward(self, x):
         return self.model(x)

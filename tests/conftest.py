@@ -22,6 +22,19 @@ import jax  # noqa: E402
 # "axon,cpu" at interpreter start, overriding the env var — pin it back.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache (XLA:CPU AOT results, keyed by HLO hash):
+# dedups identical graphs recompiled through fresh jit closures — e.g. the
+# resume path re-creating its train step, or two tests building the same
+# stage step — and makes repeated local suite runs dramatically faster.
+# Set CRESTE_TEST_COMPILE_CACHE=0 to disable.
+if os.environ.get("CRESTE_TEST_COMPILE_CACHE", "1") != "0":
+    _cache_dir = os.environ.get(
+        "CRESTE_TEST_COMPILE_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_test_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

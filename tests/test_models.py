@@ -140,8 +140,10 @@ def test_effnet_remat_grad_equivalence():
     x = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1, (1, 64, 80, 4)).astype(np.float32)
     )
-    m1 = EffNet(4, 32, (64, 80), 4, remat=False)
-    m2 = EffNet(4, 32, (64, 80), 4, remat=True)
+    # stage_repeats=2 keeps repeated blocks (drop-connect indices) in
+    # play while halving the compile of this fwd+bwd double build
+    m1 = EffNet(4, 32, (64, 80), 4, remat=False, stage_repeats=2)
+    m2 = EffNet(4, 32, (64, 80), 4, remat=True, stage_repeats=2)
     v = m1.init({"params": jax.random.PRNGKey(0)}, x)
 
     def loss(m):
