@@ -359,6 +359,11 @@ def _shrink_trunk(cfg: Config) -> Config:
     return cfg
 
 
+def tiny_distillation_config() -> Config:
+    """Stage-1 single-view miniature."""
+    return _shrink_trunk(distillation_model_config(**tiny_kwargs()))
+
+
 def tiny_depth_config() -> Config:
     """Stage-0 depth-only miniature (configs/model/distillation/
     depth_only.yaml shapes, CPU-friendly)."""

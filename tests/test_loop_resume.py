@@ -13,7 +13,7 @@ from creste_public_tpu.training.loop import run_training
 
 @pytest.mark.slow
 def test_run_training_and_resume(tmp_path):
-    cfg = presets.distillation_model_config(**presets.tiny_kwargs())
+    cfg = presets.tiny_distillation_config()
     ds = SyntheticCodaDataset(length=4, image_size=(64, 80), ds=4,
                               fdn_dim=16, grid=32, map_range=1.6, horizon=10)
 

@@ -26,7 +26,7 @@ def test_three_stage_weight_flow(tmp_path):
     b1 = {k: batch[k] for k in keys1}
 
     # ---- stage 1: init + save ----
-    cfg1 = presets.distillation_model_config(**presets.tiny_kwargs())
+    cfg1 = presets.tiny_distillation_config()
     m1, lm1, s1, _ = pipelines.init_stage("distillation", cfg1, b1)
     d1 = str(tmp_path / "stage1")
     ckpt.save_checkpoint(d1, 7, s1)
@@ -82,7 +82,7 @@ def test_three_stage_weight_flow(tmp_path):
 def test_same_stage_resume(tmp_path):
     batch = tiny_batch()
     b1 = {k: batch[k] for k in ("image", "depth_label", "fimg_label", "p2p")}
-    cfg1 = presets.distillation_model_config(**presets.tiny_kwargs())
+    cfg1 = presets.tiny_distillation_config()
     _, _, s1, _ = pipelines.init_stage("distillation", cfg1, b1)
     d = str(tmp_path / "resume")
     ckpt.save_checkpoint(d, 3, s1)
