@@ -146,13 +146,16 @@ def lower_upper_elevation(
     # per-point classes (in original point order)
     fg = first_gap[jnp.clip(sc, 0, n_cells - 1)]
     broken_pt = cell_broken[jnp.clip(sc, 0, n_cells - 1)]
+    # the gap-discovery point itself is never classified by the reference
+    # scan (it exits through the gap elif) and stays SKY — pinned by
+    # tests/test_reference_exec_preproc.py
     cls_sorted = jnp.where(
         ~fin | broken_pt,
         PROJ_SKY,
         jnp.where(
             pos < fg,
             PROJ_GROUND,
-            jnp.where(se < sky_thres, PROJ_CEILING, PROJ_SKY),
+            jnp.where((pos > fg) & (se < sky_thres), PROJ_CEILING, PROJ_SKY),
         ),
     )
     proj_class = jnp.zeros((N,), jnp.int32).at[order].set(cls_sorted)

