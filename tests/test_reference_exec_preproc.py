@@ -157,3 +157,150 @@ def test_reference_remap_and_sum_channels():
     ref = fn(torch.from_numpy(t), mapping).numpy()
     ours = taxonomy.remap_and_sum_channels(t, np.asarray(mapping))
     np.testing.assert_allclose(ours, ref, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# SupPixelConLoss end-to-end (loss_utils.py:203-286) in the deterministic
+# (no-subsampling) regime
+# ---------------------------------------------------------------------------
+
+
+def test_reference_sup_pixel_con_loss():
+    """Equal per-class pixel counts make the reference's median-capped
+    randperm sampling a no-op on both sides, so the whole pipeline —
+    per-batch label remap, fov/ignore masking, anchor-view selection,
+    MultiPosConLoss — must agree exactly."""
+    import types
+
+    from creste_public_tpu.losses import manager as lm
+    from tests.test_reference_exec import _Cfg, _TorchProxy, _dist_stub, t2n
+
+    dist = _dist_stub()
+    ns = base_ns(dist=dist)
+    ns["torch"] = _TorchProxy(dist)
+    for name in ("is_dist_avail_and_initialized", "get_rank",
+                 "compute_cross_entropy", "stablize_logits",
+                 "concat_all_gather", "MultiPosConLoss"):
+        exec_def("creste/models/losses/supcon_loss.py", name, ns)
+    remap_fn, _ = exec_def("creste/utils/utils.py", "remap_labels_in_batch",
+                           ns)
+    extract_fn, _ = exec_def("creste/utils/train_utils.py",
+                             "extract_max_per_class", ns)
+    ns["utils"] = types.SimpleNamespace(remap_labels_in_batch=remap_fn)
+    ns["tu"] = types.SimpleNamespace(extract_max_per_class=extract_fn)
+    exec_def("creste/utils/loss_utils.py", "Loss", ns)
+    cls, _ = exec_def("creste/utils/loss_utils.py", "SupPixelConLoss", ns)
+
+    torch.manual_seed(18)
+    B, Z, H, W = 2, 8, 12, 16
+    preds = torch.randn(B, Z, H, W)
+    # 3 instances per sample, EXACTLY 12 pixels each, inside the fov
+    gt = torch.zeros(B, 1, H, W, dtype=torch.long)
+    for b in range(B):
+        for i, inst in enumerate((5, 9, 13)):
+            r = 2 + 3 * i
+            gt[b, 0, r, 2:14] = inst + b  # 12 pixels
+    fov = torch.zeros(B, H, W, dtype=torch.bool)
+    fov[:, :11, :] = True  # leaves every instance row inside
+
+    cfg = _Cfg(
+        name="SupPixelConLoss", views=1, temperature=0.1,
+        pred_key="p", lab_key="inputs/3d_sam_label", mask_key="m",
+        ignore_index=0, task="joint",
+    )
+    ref_losses, _ = cls(cfg).loss(
+        {"p": preds, "inputs/3d_sam_label": gt, "m": fov}
+    )
+    ref_loss = ref_losses["joint/3d_sam_label/supcon/sem_loss"]
+
+    ours = lm.SupPixelConLoss(
+        {"name": "SupPixelConLoss", "views": 1, "temperature": 0.1,
+         "pred_key": "p", "lab_key": "inputs/3d_sam_label", "mask_key": "m",
+         "ignore_index": 0, "task": "joint", "max_samples": 128}
+    )
+    import jax
+
+    j_losses, _ = ours.loss(
+        {"p": jnp.asarray(t2n(preds).transpose(0, 2, 3, 1)),
+         "inputs/3d_sam_label": jnp.asarray(t2n(gt[:, 0])),
+         "m": jnp.asarray(t2n(fov))},
+        {"rng": jax.random.PRNGKey(0)},
+    )
+    j_loss = j_losses["joint/3d_sam_label/supcon/sem_loss"]
+    np.testing.assert_allclose(float(j_loss), float(ref_loss), rtol=1e-5,
+                               atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Curvature split (build_splits.py:118-193) against a real poses tree
+# ---------------------------------------------------------------------------
+
+
+def test_reference_curvature_filter(tmp_path):
+    import glob as _glob
+    import os
+    import types
+
+    from scipy.spatial.distance import directed_hausdorff
+    from scipy.spatial.transform import Rotation as R
+
+    from creste_public_tpu.preprocessing import splits as sp
+
+    rng = np.random.default_rng(4)
+    n = 160
+    rows = np.zeros((n, 8))
+    rows[:, 0] = np.arange(n)
+    t = np.arange(n) * 0.08
+    rows[:, 1] = t
+    rows[:, 2] = 0.6 * np.sin(t * 0.7)  # curving path
+    rows[:, 4] = 1.0  # identity quaternions
+    (tmp_path / "poses" / "dense").mkdir(parents=True)
+    np.savetxt(tmp_path / "poses" / "dense" / "0.txt", rows)
+
+    ns = base_ns(
+        os=os, glob=_glob, join=os.path.join, R=R,
+        directed_hausdorff=directed_hausdorff,
+        POSES_DIR="poses", POSES_SUBDIRS=["dense", "dense"],
+        ch=types.SimpleNamespace(pose_sort_func=lambda p: p),
+    )
+    fn, _ = exec_def("scripts/preprocessing/build_splits.py",
+                     "filter_by_poses", ns)
+    frames = [0, 10, 25, 40, 55]
+    samples = [f"0 {f}" for f in frames]
+    valid_ref, hd_ref = fn({"root_dir": str(tmp_path)}, samples,
+                           horizon=60, min_distance=1.0)
+    ref_dists = {int(s.split(" ")[1]): d for s, d in zip(valid_ref, hd_ref)}
+
+    from creste_public_tpu.data.calib import load_poses
+
+    mats = load_poses(str(tmp_path), 0)
+    curved, straight, dists = sp.classify_curvature(
+        mats, frames, horizon=60, min_distance=1.0
+    )
+    assert set(dists) == set(ref_dists)
+    for f in ref_dists:
+        np.testing.assert_allclose(dists[f], ref_dists[f], rtol=1e-6,
+                                   atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Filename codecs (coda_utils.py:555-584)
+# ---------------------------------------------------------------------------
+
+
+def test_reference_filename_codecs():
+    import os
+
+    from creste_public_tpu.data import coda_constants as cc
+
+    ns = base_ns(os=os)
+    fn2frame, _ = exec_def("creste/datasets/coda_utils.py", "fn2frame", ns)
+    frame2fn, _ = exec_def("creste/datasets/coda_utils.py", "frame2fn", ns)
+    fn2info, _ = exec_def("creste/datasets/coda_utils.py", "fn2info", ns)
+
+    name = frame2fn("2d_rect", "cam0", 7, 1234, "jpg")
+    assert name == cc.frame_filename("2d_rect", "cam0", 7, 1234, "jpg")
+    assert fn2frame(name) == cc.parse_frame(name) == 1234
+    assert fn2info(name) == cc.parse_filename(name)
+    # path-qualified input
+    assert fn2frame("/a/b/" + name) == cc.parse_frame("/a/b/" + name)
