@@ -304,3 +304,32 @@ def test_reference_filename_codecs():
     assert fn2info(name) == cc.parse_filename(name)
     # path-qualified input
     assert fn2frame("/a/b/" + name) == cc.parse_frame("/a/b/" + name)
+
+
+# ---------------------------------------------------------------------------
+# Stereo group-wise correlation volume (stereo_submodule.py:244-263)
+# ---------------------------------------------------------------------------
+
+
+def test_reference_gwc_volume():
+    from creste_public_tpu.models.stereodepth import gwc_volume
+    from tests.test_reference_exec import t2n
+
+    ns = base_ns()
+    exec_def("creste/models/blocks/stereo_submodule.py",
+             "groupwise_correlation", ns)
+    fn, _ = exec_def("creste/models/blocks/stereo_submodule.py",
+                     "build_gwc_volume", ns)
+    torch.manual_seed(19)
+    B, C, H, W, D, G = 2, 16, 10, 20, 6, 4
+    left = torch.randn(B, C, H, W)
+    right = torch.randn(B, C, H, W)
+    ref = fn(left, right, D, G)  # [B, G, D, H, W]
+
+    ours = np.asarray(gwc_volume(
+        jnp.asarray(t2n(left).transpose(0, 2, 3, 1)),
+        jnp.asarray(t2n(right).transpose(0, 2, 3, 1)),
+        D, G,
+    ))  # [B, H, W, D*G] disparity-major
+    ours_bgdhw = ours.reshape(B, H, W, D, G).transpose(0, 4, 3, 1, 2)
+    np.testing.assert_allclose(ours_bgdhw, t2n(ref), atol=1e-5)
