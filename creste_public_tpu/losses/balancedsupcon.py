@@ -46,15 +46,27 @@ def bal_contrastive_loss(
     B, V, Z = feats.shape
     if valid is None:
         valid = jnp.ones((B,), bool)
+    else:
+        # Front-pack valid rows (stable): the reference's l_spread pairing
+        # pattern depends on the TRUE batch size (its view-major column
+        # layout wraps at B), so exact parity under static padding requires
+        # the valid rows contiguous at the front and the pairing computed
+        # against the dynamic valid count below.
+        order = jnp.argsort(~valid, stable=True)
+        feats = feats[order]
+        labels = labels[order]
+        valid = valid[order]
     anchor = feats[:, 0]
-    augment = anchor if V == 1 else feats[:, 1:].transpose(1, 0, 2).reshape(
-        B * (V - 1), Z
-    )
 
     logits = anchor @ anchor.T / temperature
-    logits = logits - jax.lax.stop_gradient(
-        jnp.max(logits, axis=1, keepdims=True)
+    # stability max over VALID columns only: the shift cancels inside lsup
+    # but NOT in the l_spread normalizer (its zero-masked entries don't
+    # shift with the row), so a padded-column max would leak into the loss
+    row_max = jnp.max(
+        jnp.where(valid[None, :], logits, -jnp.inf), axis=1, keepdims=True
     )
+    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    logits = logits - jax.lax.stop_gradient(row_max)
     exp_logits = jnp.exp(logits)
 
     eye = jnp.eye(B, dtype=bool)
@@ -75,26 +87,44 @@ def bal_contrastive_loss(
     )
 
     # lspread (balancedsupcon_loss.py:126-139), reproduced EXACTLY as the
-    # reference executes it, including two quirks pinned by
-    # tests/test_reference_exec.py::test_reference_bal_contrastive_loss:
+    # reference executes it over the n valid rows, including three quirks
+    # pinned by tests/test_reference_exec.py and test_secondary_models
+    # (padding invariance):
     #   (a) augment columns are view-major (cat of unbind) but the augmask
-    #       indexes sample-major ((j // (V-1)) % B) — anchor b is paired
-    #       with view-1 features of samples (b(V-1))%B, (b(V-1)+1)%B, ...;
+    #       indexes sample-major — anchor b is paired with column
+    #       j = b(V-1)+k, which holds view 1+j//n of sample j%n;
     #   (b) the normalizer is logsumexp over logits*posmask — zeroed
-    #       non-positive entries still contribute exp(0) to the LSE.
+    #       non-positive VALID entries still contribute exp(0);
+    #   (c) the per-row stability max over ALL aug columns is NOT cancelled
+    #       by the normalizer, so it changes the value and must span
+    #       exactly the valid (sample, view>=1) combinations.
     if V > 1:
-        auglogits = anchor @ augment.T / temperature
-        auglogits = auglogits - jax.lax.stop_gradient(
-            jnp.max(auglogits, axis=1, keepdims=True)
+        n = jnp.maximum(jnp.sum(valid), 1)
+        # quirk (c): row max over every valid aug feature
+        aug_all = jnp.einsum(
+            "bz,svz->bsv", anchor, feats[:, 1:]
+        ) / temperature  # [B, B, V-1]
+        aug_all = jnp.where(valid[None, :, None], aug_all, -jnp.inf)
+        row_max = jax.lax.stop_gradient(jnp.max(aug_all, axis=(1, 2)))
+        row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+
+        # quirk (a): dynamic pairing against the true batch size n
+        k = jnp.arange(V - 1)
+        col = jnp.arange(B)[:, None] * (V - 1) + k[None, :]  # [B, V-1]
+        s = col % n
+        v = jnp.clip(1 + col // n, 1, V - 1)
+        pair_feats = feats[s, v]  # [B, V-1, Z]
+        l = jnp.einsum("bz,bkz->bk", anchor, pair_feats) / temperature
+        l = l - row_max[:, None]
+
+        # quirk (b) over valid columns only
+        pos_lse = jax.nn.logsumexp(
+            jnp.where(valid[None, :], logits * posmask, -jnp.inf),
+            axis=1, keepdims=True,
         )
-        cols = B * (V - 1)
-        mask_owner = (jnp.arange(cols) // (V - 1)) % B
-        augmask = mask_owner[None, :] == jnp.arange(B)[:, None]
-        col_valid = valid[jnp.arange(cols) % B]  # actual view-major owner
-        augmask = augmask & col_valid[None, :]
-        pos_lse = jax.nn.logsumexp(logits * posmask, axis=1, keepdims=True)
-        log_prob_sp = (auglogits - pos_lse) * augmask * valid[:, None]
-        lspread = -jnp.sum(log_prob_sp) / jnp.maximum(valid.sum(), 1)
+        pos_lse = jnp.where(jnp.isfinite(pos_lse), pos_lse, 0.0)
+        log_prob_sp = (l - pos_lse) * valid[:, None]
+        lspread = -jnp.sum(log_prob_sp) / n
     else:
         lspread = jnp.float32(0.0)
 

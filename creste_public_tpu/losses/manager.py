@@ -204,18 +204,27 @@ class MSELoss(Loss):
         if self.config.get("overlap_only", False):
             coords = td[self.config.get("coords_key", "outputs/bev_coords")]
             B, V, H, W, Z = pred.shape
-            anchor_loss = jnp.mean((pred[:, 0] - gt[:, 0]) ** 2)
+            # same inf-padded-label guard as the dense branch (the reference
+            # computes on raw gt here and would NaN on padded labels)
+            fin_a = ~jnp.isinf(gt[:, 0])
+            anchor_loss = masked_mean(
+                (pred[:, 0] - jnp.where(fin_a, gt[:, 0], 0.0)) ** 2, fin_a
+            )
             if V == 1:
                 return {"loss": anchor_loss}, {}
             coords = coords.reshape(B, V, H * W, 2)
             hits = _bev_overlap_hits(
                 coords[:, 0], coords[:, 1:].reshape(B, (V - 1) * H * W, 2)
             )  # [B, (V-1)*H*W]
-            diff2 = (pred[:, 1:] - gt[:, 1:]).reshape(B, -1, Z) ** 2
+            gt_aug = gt[:, 1:].reshape(B, -1, Z)
+            fin = ~jnp.isinf(gt_aug)
+            diff2 = (pred[:, 1:].reshape(B, -1, Z)
+                     - jnp.where(fin, gt_aug, 0.0)) ** 2 * fin
             w = hits.astype(jnp.float32)[..., None]
-            # w broadcasts over Z: denominator is (#hit pixels * Z)
+            # denominator = (#hit, finite elements); equals (#hit pixels * Z)
+            # whenever the labels carry no inf padding (reference case)
             per_b = jnp.sum(diff2 * w, axis=(1, 2)) / jnp.clip(
-                jnp.sum(w, axis=1)[:, 0] * Z, 1.0, None
+                jnp.sum(w * fin, axis=(1, 2)), 1.0, None
             )
             return {"loss": jnp.sum(per_b) + anchor_loss}, {}
         valid = ~jnp.isinf(gt)

@@ -154,3 +154,33 @@ def test_vicreg_loss_registered():
     (w, v), = [ld[k] for k in ld]
     assert np.isfinite(float(v))
     assert "VicregLoss/vicreg/sim" in meta
+
+
+def test_bal_contrastive_padding_invariant():
+    """Static padding slots (valid=False) must not change the loss: the
+    l_spread normalizer once leaked exp(0) per padded column (found by
+    round-3 code review; the reference-exec golden runs all-valid and
+    could not see it)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    B, V, Z = 6, 3, 8
+    feats = rng.normal(size=(B, V, Z)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    labels = np.array([0, 1, 0, 2, 1, 2])
+
+    base = float(bal_contrastive_loss(
+        jnp.asarray(feats), jnp.asarray(labels), temperature=0.5,
+        loss_type="l_spread",
+    ))
+    for pad in (2, 8):
+        fp = np.concatenate(
+            [feats, rng.normal(size=(pad, V, Z)).astype(np.float32)]
+        )
+        lp = np.concatenate([labels, np.zeros(pad, np.int64)])
+        vp = np.concatenate([np.ones(B, bool), np.zeros(pad, bool)])
+        padded = float(bal_contrastive_loss(
+            jnp.asarray(fp), jnp.asarray(lp), temperature=0.5,
+            loss_type="l_spread", valid=jnp.asarray(vp),
+        ))
+        assert abs(padded - base) < 1e-5, (pad, padded, base)
