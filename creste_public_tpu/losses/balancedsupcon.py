@@ -40,8 +40,11 @@ def bal_contrastive_loss(
     elif loss_type == "l_repel":
         a_lc, a_spread = 0.0, 1.0
     elif loss_type == "sim_clr":
-        a_spread = 0.0
-        labels = jnp.arange(feats.shape[0])  # every sample its own class
+        # the reference's sim_clr preset sets use_labels=False but its
+        # forward never reads the flag — it computes lsup with the REAL
+        # labels (identical to sup_con); relabelling every sample as its
+        # own class here would zero the loss entirely
+        a_lc, a_spread = 1.0, 0.0
 
     B, V, Z = feats.shape
     if valid is None:

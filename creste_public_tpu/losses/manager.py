@@ -551,24 +551,35 @@ class TREXLoss(Loss):
 
         pref = valid & (rank == 0)
         not_pref = valid & (rank > 0)
-        # pairwise [B, N, N]: (pref_i, not_pref_j)
-        pair_valid = pref[:, :, None] & not_pref[:, None, :]
-        r_pref = jnp.broadcast_to(rew[:, :, None], (B, N, N))
-        r_not = jnp.broadcast_to(rew[:, None, :], (B, N, N))
+        # The reference enumerates P*Q pairs as (pref[k % P], not_pref[k % Q])
+        # (loss_utils.py:1375-1378 repeat-pairing) — the full Cartesian
+        # product only when gcd(P, Q) = 1 (always true for the annotation
+        # app's single rank-0, P=1). Reproduce the exact multiset: front-pack
+        # each list (stable, preserving counterfactual order) and index with
+        # the dynamic modulo.
+        pref_order = jnp.argsort(~pref, axis=1, stable=True)
+        not_order = jnp.argsort(~not_pref, axis=1, stable=True)
+        r_pref_packed = jnp.take_along_axis(rew, pref_order, 1)  # [B, N]
+        r_not_packed = jnp.take_along_axis(rew, not_order, 1)
+        P = pref.sum(1)  # [B]
+        Q = not_pref.sum(1)
+        k = jnp.arange(N * N)
+        i = k[None, :] % jnp.maximum(P, 1)[:, None]  # [B, N*N]
+        j = k[None, :] % jnp.maximum(Q, 1)[:, None]
+        r_pref = jnp.take_along_axis(r_pref_packed, i, 1)
+        r_not = jnp.take_along_axis(r_not_packed, j, 1)
+        pair_valid = k[None, :] < (P * Q)[:, None]
         z = jnp.logaddexp(r_pref, r_not)
         a, b = r_pref - z, r_not - z
         p1 = a / (a + b + 1e-6)
         # reference applies a softmax over the pair axis then sum-BCE with
         # all-ones labels; with padded pairs we softmax over valid pairs
-        logits = jnp.where(pair_valid, p1, -jnp.inf)
-        flat = logits.reshape(B, -1)
+        flat = jnp.where(pair_valid, p1, -jnp.inf)
         sm = jax.nn.softmax(
             jnp.where(jnp.isfinite(flat), flat, -1e9), axis=-1
         )
-        sm = jnp.where(
-            pair_valid.reshape(B, -1), jnp.clip(sm, 1e-7, 1.0), 1.0
-        )
-        bce = -jnp.log(sm) * pair_valid.reshape(B, -1)
+        sm = jnp.where(pair_valid, jnp.clip(sm, 1e-7, 1.0), 1.0)
+        bce = -jnp.log(sm) * pair_valid
         n_pairs = jnp.clip(pair_valid.sum(), 1, None)
         l1 = jnp.mean(jnp.abs(pred))
         loss = bce.sum() / (n_pairs + l1_reg * l1)
@@ -589,15 +600,25 @@ class BalancedContrastiveLoss(Loss):
         max_samples = int(self.config.get("max_samples", 1024))
         ignore = int(self.config.get("ignore_index", 0))
 
-        label = gt[..., 0] if gt.ndim == 4 else gt
+        # one-hot/probability labels reduce by argmax over the class dim
+        # (reference semantics; _gt_mode mirrors loss_utils.py:420-427)
+        if gt.ndim == 4 and gt.shape[-1] > 1:
+            label = _gt_mode(gt, -1)
+        elif gt.ndim == 4:
+            label = gt[..., 0]
+        else:
+            label = gt
         label = label.astype(jnp.int32)
         BV = preds.shape[0]
         B = BV // views
         H, W, Z = preds.shape[1:]
         preds = preds.reshape(B, views, H, W, Z)
-        label0 = label.reshape(B, -1)[:, : H * W].reshape(B, H, W) \
-            if label.shape[0] == B else label[:B]
-        fov0 = fov if fov.shape[0] == B else fov[:B]
+        # per-batch ANCHOR view (b-major layout index b*views): [:, 0] —
+        # a bare [:B] slice would mix batch 0's extra views into batch 1+
+        label0 = (label if label.shape[0] == B
+                  else label.reshape(B, views, H, W)[:, 0])
+        fov0 = (fov if fov.shape[0] == B
+                else fov.reshape(B, views, H, W)[:, 0])
         valid = (label0 != ignore) & fov0.astype(bool)
 
         rng = aux.get("rng", None)

@@ -106,7 +106,6 @@ def capped_class_sample(
     sorted_sizes = jnp.sort(
         jnp.where(class_sizes > 0, class_sizes, jnp.asarray(2 ** 30))
     )
-    med_idx = jnp.maximum(n_classes // 2, 0)
     # emulate torch .median() (lower median) on the nonzero counts
     med_idx = jnp.where(n_classes % 2 == 0, jnp.maximum(n_classes // 2 - 1, 0),
                         n_classes // 2)
@@ -116,19 +115,17 @@ def capped_class_sample(
     k = jnp.minimum(median, cap)
 
     keep = sorted_valid & (rank < k)
-    # choose the first max_samples kept elements (they're class-sorted)
+    # choose the first max_samples kept elements (they're class-sorted);
+    # non-kept elements carry the out-of-range sentinel slot, which
+    # mode='drop' discards — do NOT clip it back into range (a clipped
+    # sentinel lands on the last real slot and clobbers it)
     keep_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
     slot = jnp.where(keep, keep_rank, max_samples)
     idx_out = jnp.full((max_samples,), 0, jnp.int32)
     valid_out = jnp.zeros((max_samples,), bool)
-    idx_out = idx_out.at[jnp.clip(slot, 0, max_samples - 1)].set(
-        order.astype(jnp.int32), mode="drop"
-    )
-    valid_out = valid_out.at[jnp.clip(slot, 0, max_samples - 1)].set(
-        keep, mode="drop"
-    )
-    # slots >= number kept stay invalid; the scatter with mode=drop ignores
-    # the sentinel slot == max_samples
+    idx_out = idx_out.at[slot].set(order.astype(jnp.int32), mode="drop")
+    valid_out = valid_out.at[slot].set(keep, mode="drop")
+    # slots beyond the kept count stay invalid
     return idx_out, valid_out
 
 

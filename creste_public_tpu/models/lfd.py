@@ -173,4 +173,10 @@ class MaxEntIRL(nn.Module):
         state_preds = jnp.concatenate(
             [init[:, None], jnp.transpose(states, (1, 0, 2))], axis=1
         )
-        return {"policy_fc": action_preds, "state_preds": state_preds}
+        # the reference runs iterative_policy_rollout entirely under
+        # torch.no_grad() (lfd.py:367-369): the fc head receives NO gradient
+        # from BCActionLoss — match that detach boundary exactly
+        return {
+            "policy_fc": jax.lax.stop_gradient(action_preds),
+            "state_preds": jax.lax.stop_gradient(state_preds),
+        }
