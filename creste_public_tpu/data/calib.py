@@ -33,13 +33,24 @@ class Calibration:
     img_hw: tuple[int, int] = field(default=(0, 0))
 
     def scaled(self, scale: float) -> "Calibration":
-        """Intrinsics at a downsampled image resolution (coda_helpers.py:60)."""
+        """Intrinsics at a downsampled image resolution (coda_helpers.py:60).
+
+        lidar2camrect is recomputed exactly as the reference's
+        get_pts2pixel_transform (projection.py:37-60): M(P[:3,:3]) @ R @
+        lidar2cam — the rectification matrix IS applied and P's fourth
+        (baseline) column is NOT.
+        """
         K = self.K.copy()
         P = self.P.copy()
         K[:2] *= scale
         P[:2] *= scale
-        l2r = np.eye(4)
-        l2r[:3] = P @ self.lidar2cam[:4]
+        M = np.eye(4)
+        M[:3, :3] = P[:3, :3]
+        canon = np.eye(4)
+        canon[:3, :3] = self.R
+        l2c = np.eye(4)
+        l2c[:3, :] = self.lidar2cam[:3, :]
+        l2r = M @ canon @ l2c
         return Calibration(
             K=K, R=self.R, P=P,
             lidar2cam=self.lidar2cam,
@@ -80,20 +91,11 @@ def load_calibration(root: str, seq: int | str, cam: str = "cam0") -> Calibratio
 
 
 def quat_to_rotmat(q: np.ndarray) -> np.ndarray:
-    """[..., 4] (qw, qx, qy, qz) -> [..., 3, 3] (no scipy dependency)."""
-    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
-    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    m = np.empty(q.shape[:-1] + (3, 3), q.dtype)
-    m[..., 0, 0] = 1 - 2 * (y * y + z * z)
-    m[..., 0, 1] = 2 * (x * y - z * w)
-    m[..., 0, 2] = 2 * (x * z + y * w)
-    m[..., 1, 0] = 2 * (x * y + z * w)
-    m[..., 1, 1] = 1 - 2 * (x * x + z * z)
-    m[..., 1, 2] = 2 * (y * z - x * w)
-    m[..., 2, 0] = 2 * (x * z - y * w)
-    m[..., 2, 1] = 2 * (y * z + x * w)
-    m[..., 2, 2] = 1 - 2 * (x * x + y * y)
-    return m
+    """[..., 4] (qw, qx, qy, qz) -> [..., 3, 3] (no scipy dependency);
+    delegates to the single implementation in utils.geometry."""
+    from creste_public_tpu.utils.geometry import quat_to_rotmat as _impl
+
+    return _impl(q)
 
 
 def poses_to_matrices(rows: np.ndarray) -> np.ndarray:

@@ -88,13 +88,11 @@ def filter_split(
 
 def remap_contiguous(labels: np.ndarray, ignore: int = 0) -> np.ndarray:
     """Compact instance ids to 0..K keeping ``ignore`` fixed
-    (codapefree_dataloader.py:627-648 behaviour)."""
-    uniq = np.unique(labels)
-    uniq = uniq[uniq != ignore]
-    out = np.zeros_like(labels, dtype=np.int32)
-    for new, old in enumerate(uniq, start=1):
-        out[labels == old] = new
-    return out
+    (codapefree_dataloader.py:627-648 behaviour). Delegates to the single
+    implementation in preprocessing.sam_map (lazy import: no cycle)."""
+    from creste_public_tpu.preprocessing.sam_map import make_labels_contiguous
+
+    return make_labels_contiguous(labels, ignore).astype(np.int32)
 
 
 class CodaDataset:
@@ -231,8 +229,8 @@ class CodaDataset:
         return {"trajectories": traj, "rank": rank, "valid": valid}
 
     # -- multiview support (PE-free distillation) ----------------------------
-    @lru_cache(maxsize=16)
     def _se3_poses(self, seq: str) -> np.ndarray:
+        # alias for readability; _poses already caches per sequence
         return self._poses(seq)
 
     def overlapping_frames(self, seq: str, frame: int, k: int,
@@ -258,13 +256,46 @@ class CodaDataset:
         picks = rng.choice(cands, size=k, replace=len(cands) < k)
         return [int(p) for p in picks]
 
+    def _resized(self, rgb: np.ndarray, depth: np.ndarray):
+        """Resize an (rgb, depth) pair to cfg image_size (bilinear rgb,
+        nearest depth; the reference's _load_rgbd resize semantics)."""
+        if self.image_size is None or rgb.shape[:2] == tuple(self.image_size):
+            return rgb, depth
+        from PIL import Image
+
+        h, w = self.image_size
+        rgb = np.asarray(
+            Image.fromarray((rgb * 255).astype(np.uint8)).resize(
+                (w, h), Image.BILINEAR
+            ),
+            np.float32,
+        ) / 255.0
+        depth = np.asarray(
+            Image.fromarray(depth).resize((w, h), Image.NEAREST), np.float32
+        )
+        return rgb, depth
+
+    def _p2p(self, seq: str) -> np.ndarray:
+        """pixel->point at the LOADED resolution: when cfg image_size
+        resizes the native frames, the intrinsics scale with them before
+        the model-downsample ds (reference: ds_gt_depth spans resize AND
+        model ds, codapefree_dataloader.py:803-816)."""
+        calib = self._calib(seq)
+        if (
+            self.image_size is not None
+            and calib.img_hw[0] > 0
+            and tuple(self.image_size) != tuple(calib.img_hw)
+        ):
+            calib = calib.scaled(self.image_size[0] / calib.img_hw[0])
+        return calib.pixel_to_point(ds=self.ds)
+
     def _view_sample(self, seq: str, frame: int, anchor_pose: np.ndarray):
         """(rgbd [H,W,4], p2p-into-anchor-frame [4,4]) for one view."""
         rgb = self._image(seq, frame)
         depth = self._depth_png(self.depth_dir, seq, frame)
+        rgb, depth = self._resized(rgb, depth)
         rgbd = np.concatenate([rgb, depth[..., None]], axis=-1)
-        calib = self._calib(seq)
-        p2p = calib.pixel_to_point(ds=self.ds)
+        p2p = self._p2p(seq)
         pose = self._se3_poses(seq)[frame]
         rel = np.linalg.inv(anchor_pose) @ pose  # anchor_from_view
         return rgbd.astype(np.float32), (rel @ p2p).astype(np.float32)
@@ -318,19 +349,7 @@ class CodaDataset:
             return self._getitem_multiview(seq, frame, idx)
         rgb = self._image(seq, frame)
         depth = self._depth_png(self.depth_dir, seq, frame)
-        if self.image_size is not None and rgb.shape[:2] != tuple(self.image_size):
-            from PIL import Image
-
-            h, w = self.image_size
-            rgb = np.asarray(
-                Image.fromarray((rgb * 255).astype(np.uint8)).resize(
-                    (w, h), Image.BILINEAR
-                ),
-                np.float32,
-            ) / 255.0
-            depth = np.asarray(
-                Image.fromarray(depth).resize((w, h), Image.NEAREST), np.float32
-            )
+        rgb, depth = self._resized(rgb, depth)
         rgbd = np.concatenate([rgb, depth[..., None]], axis=-1)
 
         gt_depth = (
@@ -343,8 +362,7 @@ class CodaDataset:
         if fimg.ndim == 3 and fimg.shape[0] < fimg.shape[-1]:
             fimg = np.moveaxis(fimg, 0, -1)  # CHW -> HWC
 
-        calib = self._calib(seq)
-        p2p = calib.pixel_to_point(ds=self.ds)
+        p2p = self._p2p(seq)
 
         sample = {
             "image": rgbd[None].astype(np.float32),

@@ -100,6 +100,11 @@ class EpochLoader:
                     continue
             return False
 
+        # A producer-thread failure (corrupt file, bad transform, collate
+        # error) must surface to the consumer, not truncate the epoch
+        # silently as a normal end-of-data.
+        error: list[BaseException] = []
+
         def produce():
             from concurrent.futures import ThreadPoolExecutor
 
@@ -115,6 +120,8 @@ class EpochLoader:
                             samples = [fetch_one(j) for j in idxs]
                         if not put(self.collate(samples)):
                             return
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                error.append(e)
             finally:
                 put(None)
 
@@ -124,6 +131,8 @@ class EpochLoader:
             while True:
                 item = q.get()
                 if item is None:
+                    if error:
+                        raise error[0]
                     return
                 yield item
         finally:

@@ -127,8 +127,14 @@ def write_split_files(
                 os.path.join(out_dir, f"{name}_distances.txt"), "w"
             ) as f:
                 for r in rows:
-                    key = r[1] if isinstance(r, tuple) else r
-                    f.write(f"{distances.get(key, 0.0):.4f}\n")
+                    # distances are keyed (seq, frame): frame-only keys
+                    # collide across sequences (accepted as legacy fallback)
+                    if isinstance(r, tuple):
+                        d = distances.get((r[0], r[1]),
+                                          distances.get(r[1], 0.0))
+                    else:
+                        d = distances.get(r, 0.0)
+                    f.write(f"{d:.4f}\n")
 
 
 def drop_overlapping_horizons(

@@ -211,12 +211,18 @@ def run_training(
                 host.update(step=global_step, epoch=epoch,
                             wall_s=round(time.time() - t0, 1))
                 logger.log(host)
-            for k, v in jax.device_get(metrics).items():
-                epoch_metrics[k].append(float(v))
+            # keep the DeviceArrays: a per-step device_get would block the
+            # host on every step and serialize against the loader prefetch;
+            # the epoch summary fetches them once below
+            for k, v in metrics.items():
+                epoch_metrics[k].append(v)
             if 0 < max_steps <= global_step:
                 break
 
-        summary = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
+        summary = {
+            k: float(np.mean(jax.device_get(v)))
+            for k, v in epoch_metrics.items()
+        }
         summary.update(step=global_step, epoch=epoch, split="train_epoch")
         logger.log(summary)
 

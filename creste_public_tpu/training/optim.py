@@ -61,20 +61,6 @@ def freeze_mask(params: Any, frozen_pred: PathPred | None) -> Any:
     return jax.tree_util.tree_map(lambda p: not frozen_pred(p), paths)
 
 
-def apply_grad_mask(grads: Any, mask: Any, gate: Any = None) -> Any:
-    """Zero grads where mask is False; ``gate`` (traced bool) optionally
-    re-freezes a trainable subtree (epoch-scheduled backbone freeze)."""
-    if gate is None:
-        return jax.tree_util.tree_map(
-            lambda g, m: g if m else jnp.zeros_like(g), grads, mask
-        )
-    return jax.tree_util.tree_map(
-        lambda g, m: jnp.where(jnp.logical_or(m, gate), g, 0.0) if not m else g,
-        grads,
-        mask,
-    )
-
-
 def scheduled_freeze_gate(
     grads: Any, pred: PathPred, unfrozen: Any
 ) -> Any:

@@ -480,7 +480,13 @@ _BN_LEAF_INV = {"scale": "weight", "bias": "bias", "mean": "running_mean",
 
 def export_torch_style(variables: dict) -> dict[str, np.ndarray]:
     """flax variables -> reference-style torch state_dict (keys prefixed
-    'model.'). Leaves with no torch counterpart are skipped."""
+    'model.'). Leaves with no torch counterpart are skipped.
+
+    NOTE: Sequential head indices assume the BatchNorm'd layout (conv at
+    k*3, bn at k*3+1) used by every shipped config; the importer also
+    handles bn-less period-2 Sequentials, but exporting one is not
+    supported — extend both directions together if such a head is added
+    (see CLAUDE.md parity-rule convention)."""
     import jax
 
     out: dict[str, np.ndarray] = {}

@@ -276,17 +276,28 @@ def get_overlapping_views(
     return np.nonzero(ok)[0]
 
 
+def quat_to_rotmat(q: np.ndarray) -> np.ndarray:
+    """[..., 4] (qw, qx, qy, qz) -> [..., 3, 3] rotation matrices (the
+    single quaternion implementation; calib delegates here)."""
+    q = np.asarray(q, np.float64)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    m = np.empty(q.shape[:-1] + (3, 3), q.dtype)
+    m[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    m[..., 0, 1] = 2 * (x * y - z * w)
+    m[..., 0, 2] = 2 * (x * z + y * w)
+    m[..., 1, 0] = 2 * (x * y + z * w)
+    m[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    m[..., 1, 2] = 2 * (y * z - x * w)
+    m[..., 2, 0] = 2 * (x * z - y * w)
+    m[..., 2, 1] = 2 * (y * z + x * w)
+    m[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return m
+
+
 def quat_to_matrix(qw: float, qx: float, qy: float, qz: float) -> np.ndarray:
     """Unit quaternion (w, x, y, z) -> 3x3 rotation matrix."""
-    n = np.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
-    qw, qx, qy, qz = qw / n, qx / n, qy / n, qz / n
-    return np.array(
-        [
-            [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)],
-            [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qw * qx)],
-            [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx * qx + qy * qy)],
-        ]
-    )
+    return quat_to_rotmat(np.array([qw, qx, qy, qz]))
 
 
 def pose7_to_matrix(pose: np.ndarray) -> np.ndarray:

@@ -52,8 +52,11 @@ def colorize_scalar(
 ) -> Array:
     """Generic [H, W] scalar map -> uint8 RGB (reward/value/SVF renders)."""
     finite = np.isfinite(x)
-    vmin = float(np.min(x[finite])) if vmin is None and finite.any() else (vmin or 0.0)
-    vmax = float(np.max(x[finite])) if vmax is None and finite.any() else (vmax or 1.0)
+    if vmin is None:
+        vmin = float(np.min(x[finite])) if finite.any() else 0.0
+    if vmax is None:
+        vmax = float(np.max(x[finite])) if finite.any() else 1.0
+    vmin, vmax = float(vmin), float(vmax)
     t = np.clip((x - vmin) / max(vmax - vmin, 1e-9), 0, 1)
     img = _colormap(cmap)[np.clip((t * 255), 0, 255).astype(np.uint8)]
     img[~finite] = 0

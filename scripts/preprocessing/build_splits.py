@@ -46,7 +46,8 @@ def main():
     samples, dists = [], {}
     for seq, (curved, straight, d) in results:
         samples += [(seq, f) for f in curved + straight]
-        dists.update({f: v for f, v in d.items()})
+        # key by (seq, frame): frame-only keys collide across sequences
+        dists.update({(seq, f): v for f, v in d.items()})
     parts = sp.train_val_test(samples)
     out = args.out or os.path.join(args.root, "splits")
     sp.write_split_files(out, parts, dists)

@@ -195,3 +195,25 @@ def test_multiview_sample(coda_root):
     # anchor p2p unchanged; the second view's p2p is pose-chained
     base = CodaDataset(make_cfg(coda_root), split="train")[0]["p2p"][0]
     assert np.allclose(s["p2p"][0], base, atol=1e-5)
+
+
+def test_epoch_loader_propagates_producer_errors():
+    """A corrupt sample mid-epoch must raise at the consumer, not silently
+    truncate the epoch (round-3 review finding)."""
+    import pytest
+
+    from creste_public_tpu.data.dataloader import EpochLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("corrupt sample")
+            return {"x": np.zeros((2,), np.float32)}
+
+    loader = EpochLoader(Bad(), 2, seed=0, shuffle=False)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        for _ in loader.epoch(0):
+            pass

@@ -333,3 +333,55 @@ def test_reference_gwc_volume():
     ))  # [B, H, W, D*G] disparity-major
     ours_bgdhw = ours.reshape(B, H, W, D, G).transpose(0, 4, 3, 1, 2)
     np.testing.assert_allclose(ours_bgdhw, t2n(ref), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Calibration scaling (coda_helpers.py:60-72 + projection.py:11-60)
+# ---------------------------------------------------------------------------
+
+
+def test_reference_scale_calib_transforms():
+    """scale_calib recomputes lidar2camrect via get_pts2pixel_transform —
+    M(P[:3,:3]) @ R @ lidar2cam with a REAL rectification matrix; our
+    Calibration.scaled/pixel_to_point must match (this golden pinned a
+    round-3 fix: R was being dropped and P's baseline column kept)."""
+    import types
+
+    from scipy.spatial.transform import Rotation as Rot
+
+    from creste_public_tpu.data.calib import Calibration
+
+    ns = base_ns()
+    p2t, _ = exec_def("creste/utils/projection.py",
+                      "get_pts2pixel_transform", ns)
+    ns["get_pts2pixel_transform"] = p2t
+    scale_calib, _ = exec_def("creste/datasets/coda_helpers.py",
+                              "scale_calib", ns)
+    pix2pts, _ = exec_def("creste/utils/projection.py",
+                          "get_pixel2pts_transform", ns)
+
+    rng = np.random.default_rng(6)
+    K = np.array([[730.0, 0, 610.0], [0, 730.0, 530.0], [0, 0, 1.0]])
+    R = Rot.from_rotvec(rng.normal(scale=0.03, size=3)).as_matrix()
+    P = np.hstack([K @ np.eye(3), np.array([[12.0], [0.0], [0.0]])])
+    l2c = np.eye(4)
+    l2c[:3, :3] = Rot.from_rotvec([0.0, 0.0, np.pi / 2]).as_matrix()
+    l2c[:3, 3] = [0.1, -0.05, 0.2]
+
+    cd = {"K": K.copy(), "P": P.copy(), "R": R.copy(),
+          "lidar2cam": l2c.copy(), "img_H": 1024, "img_W": 1224}
+    cd = scale_calib(cd, 0.25)
+
+    ours = Calibration(
+        K=K.copy(), R=R.copy(), P=P.copy(), lidar2cam=l2c.copy(),
+        lidar2camrect=np.eye(4), img_hw=(1024, 1224),
+    ).scaled(0.25)
+    np.testing.assert_allclose(
+        ours.lidar2camrect, cd["lidar2camrect"], atol=1e-10
+    )
+    assert ours.img_hw == (cd["img_H"], cd["img_W"])
+    # and the p2p the dataset feeds the model is the reference's inverse
+    ref_p2p = pix2pts(cd)
+    np.testing.assert_allclose(
+        np.linalg.inv(ours.lidar2camrect), ref_p2p, atol=1e-9
+    )
