@@ -86,6 +86,35 @@ def filter_split(
     return [s for s, k in zip(samples, keep) if k]
 
 
+def median_filter_2d(x: np.ndarray, kernel: int) -> np.ndarray:
+    """Zero-ignoring windowed median (train_utils.py:442-483): per window,
+    the sorted-nonzero value at index nnz//2 (zeros pushed past the end);
+    all-zero windows stay 0. Reflect padding, exact reference semantics
+    (pinned by tests/test_reference_exec_preproc.py)."""
+    H, W = x.shape
+    p = kernel // 2
+    xp = np.pad(x.astype(np.float64), p, mode="reflect")
+    win = np.lib.stride_tricks.sliding_window_view(xp, (kernel, kernel))
+    win = win.reshape(H, W, kernel * kernel).copy()
+    win[win == 0] = np.inf
+    win.sort(axis=-1)
+    nnz = (win != np.inf).sum(-1)
+    idx = np.clip(nnz // 2, 0, kernel * kernel - 1)
+    out = np.take_along_axis(win, idx[..., None], -1)[..., 0]
+    out[~np.isfinite(out)] = 0
+    return out.astype(x.dtype)
+
+
+def expand_filter_2d(x: np.ndarray, kernel: int) -> np.ndarray:
+    """Max-pool dilation of non-zero label regions (train_utils.py:486-509),
+    stride 1, same size."""
+    H, W = x.shape
+    p = kernel // 2
+    xp = np.pad(x.astype(np.float64), p, mode="constant")
+    win = np.lib.stride_tricks.sliding_window_view(xp, (kernel, kernel))
+    return win.reshape(H, W, kernel * kernel).max(-1).astype(x.dtype)
+
+
 def remap_contiguous(labels: np.ndarray, ignore: int = 0) -> np.ndarray:
     """Compact instance ids to 0..K keeping ``ignore`` fixed
     (codapefree_dataloader.py:627-648 behaviour). Delegates to the single
@@ -123,6 +152,12 @@ class CodaDataset:
         # (70, 70, 7, 200) (codapefree_dataloader.py:179-184).
         top, bot, near, far = cfg.get("fov_angles", (70, 70, 7, 200))
         self.fov_horizon = int(cfg.get("fov_horizon", 1))
+        # SAM label-cleanup kernels (reference task_cfgs kernel_size;
+        # shipped configs: static 3, dynamic 5)
+        self.sam_kernel_size = int(cfg.get("sam_kernel_size", 3))
+        self.sam_dynamic_kernel_size = int(
+            cfg.get("sam_dynamic_kernel_size", 5)
+        )
         self.use_movability = bool(cfg.get("use_movability", False))
         self.mv_label_dir = cfg.get("mv_label_dir", "2d_sam_dynamic")
         self.load_point_cloud = bool(cfg.get("load_point_cloud", False))
@@ -379,14 +414,27 @@ class CodaDataset:
 
         sam = self._try(lambda: self._bev_npy(cc.SAM_LABEL_DIR, seq, frame))
         if sam is not None:
+            # reference _load_sam static path (codapefree_dataloader.py:
+            # 640-643): zero-ignoring median filter THEN contiguous remap
             sample["3d_sam_label"] = remap_contiguous(
-                sam.astype(np.int32)
+                median_filter_2d(
+                    sam.astype(np.int32), self.sam_kernel_size
+                )
             )
         dyn = self._try(
             lambda: self._bev_npy(cc.SAM_DYNAMIC_LABEL_DIR, seq, frame)
         )
         if dyn is not None:
-            sample["3d_sam_dynamic_label"] = dyn.astype(np.float32)
+            # dynamic path (codapefree_dataloader.py:644-646): per-channel
+            # max-pool expansion of the (instance, class, occupancy) map
+            dyn = dyn.astype(np.float32)
+            k = self.sam_dynamic_kernel_size
+            if k > 1:
+                dyn = np.stack(
+                    [expand_filter_2d(dyn[..., c], k)
+                     for c in range(dyn.shape[-1])], axis=-1,
+                ) if dyn.ndim == 3 else expand_filter_2d(dyn, k)
+            sample["3d_sam_dynamic_label"] = dyn
         elev = self._try(
             lambda: self._bev_npy(cc.ELEVATION_LABEL_DIR, seq, frame)
         )

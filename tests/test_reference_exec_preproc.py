@@ -385,3 +385,35 @@ def test_reference_scale_calib_transforms():
     np.testing.assert_allclose(
         np.linalg.inv(ours.lidar2camrect), ref_p2p, atol=1e-9
     )
+
+
+# ---------------------------------------------------------------------------
+# SAM label-cleanup filters (train_utils.py:442-509) applied by the
+# reference dataloader at 3d_sam load time (codapefree_dataloader.py:640-646)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kernel", [3, 5])
+def test_reference_sam_label_filters(kernel):
+    from creste_public_tpu.data.coda_dataset import (
+        expand_filter_2d,
+        median_filter_2d,
+    )
+
+    ns = base_ns()
+    med_ref, _ = exec_def("creste/utils/train_utils.py", "median_filter_2d",
+                          ns)
+    exp_ref, _ = exec_def("creste/utils/train_utils.py", "expand_filter_2d",
+                          ns)
+    rng = np.random.default_rng(7)
+    lab = rng.integers(0, 6, (24, 30)).astype(np.int64)
+    lab[rng.random((24, 30)) < 0.4] = 0  # sparse zeros (the ignored value)
+
+    t = torch.from_numpy(lab)[None, None]
+    ref_med = med_ref(t.clone(), kernel).squeeze().numpy()
+    np.testing.assert_array_equal(median_filter_2d(lab, kernel), ref_med)
+
+    ref_exp = exp_ref(t.float(), kernel).squeeze().numpy()
+    np.testing.assert_array_equal(
+        expand_filter_2d(lab, kernel).astype(np.float64), ref_exp
+    )
