@@ -73,16 +73,18 @@ class AnnotationBackend:
         self.n = num_candidates
         self.sampler = sampler
         self.epsilon = epsilon
+        self._dataset = None  # built lazily once; /load reuses pose caches
 
     def _expert(self, seq: str, frame: int) -> np.ndarray:
         from creste_public_tpu.data.coda_dataset import CodaDataset
 
-        ds = CodaDataset(
-            {"root": self.root, "grid": self.grid,
-             "map_range": self.map_range, "horizon": self.horizon},
-            split="train",
-        )
-        pose = ds._traversability(seq, frame)  # [T, 3, 3] grid poses
+        if self._dataset is None:
+            self._dataset = CodaDataset(
+                {"root": self.root, "grid": self.grid,
+                 "map_range": self.map_range, "horizon": self.horizon},
+                split="train",
+            )
+        pose = self._dataset._traversability(seq, frame)  # [T, 3, 3]
         return pose[:, :2, 2]  # (row, col)
 
     def load(self, seq: str, frame: int) -> dict:
@@ -102,9 +104,7 @@ class AnnotationBackend:
         all_traj = np.concatenate(
             [expert_xy[None, :, :], cands[:, :, :2]], axis=0
         )
-        dists = ctl.hausdorff_distances(
-            np.concatenate([all_traj, np.zeros_like(all_traj[..., :1])], -1)
-        )
+        dists = ctl.hausdorff_distances(all_traj)
         rc = ctl.metric_to_bev(
             all_traj, (self.map_range, self.map_range), self.res
         )
@@ -135,9 +135,21 @@ class AnnotationBackend:
         out_dir = os.path.join(self.root, "counterfactuals", seq)
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"{frame}.pkl")
+        # The frontend posts the drag ORDER (order[pos] = trajectory
+        # index); the training contract (reference app.py:201-225 and
+        # MaxEntIRLLoss/TREXLoss) wants per-trajectory rank VALUES
+        # (rank[i] = rank of trajectory i, 0 = best) — invert when the
+        # payload is a permutation, pass through otherwise.
+        raw = [int(r) for r in payload["rank"]]
+        if sorted(raw) == list(range(len(raw))):
+            rank = [0] * len(raw)
+            for pos, traj_idx in enumerate(raw):
+                rank[traj_idx] = pos
+        else:
+            rank = raw
         record = {
             "trajectories": [np.asarray(t) for t in payload["trajectories"]],
-            "rank": list(payload["rank"]),
+            "rank": rank,
             "seq": seq,
             "frame": frame,
         }

@@ -51,8 +51,11 @@ def sample_epsilon_trajectories(
     from scipy.interpolate import make_interp_spline
 
     rng = np.random.default_rng(seed)
-    bands = np.linspace(0, epsilon, num_traj // 2 + 1)
-    out = np.zeros((num_traj, num_iter, 3))
+    # pair loop writes two rows per band: round the allocation up so an odd
+    # num_traj still fills its last row (surplus row sliced off at return)
+    n_pairs = (num_traj + 1) // 2
+    bands = np.linspace(0, epsilon, n_pairs + 1)
+    out = np.zeros((2 * n_pairs, num_iter, 3))
     T = len(expert_xy)
     # arc-length parameterisation of the expert
     s = np.linspace(0, 1, T)
@@ -63,7 +66,7 @@ def sample_epsilon_trajectories(
     normals = np.stack([-d[:, 1], d[:, 0]], axis=1)
 
     k = min(3, num_samples - 1)
-    for i in range(num_traj // 2):
+    for i in range(n_pairs):
         lo, hi = bands[i], bands[i + 1]
         for j, side in enumerate((1.0, -1.0)):
             picks = np.sort(rng.choice(T, num_samples, replace=False))
@@ -78,7 +81,7 @@ def sample_epsilon_trajectories(
             spline = make_interp_spline(t, ctrl, k=max(kk, 1))
             ts = np.linspace(0, 1, num_iter)
             out[2 * i + j, :, :2] = spline(ts)
-    return out
+    return out[:num_traj]
 
 
 def hausdorff_distances(

@@ -85,6 +85,12 @@ def train_from_config(cfg: Config) -> Any:
                                    transform=transform, num_workers=workers)
         val_loader = EpochLoader(val_ds, batch, shuffle=False,
                                  drop_last=False, num_workers=workers)
+        if len(train_loader) == 0:
+            raise ValueError(
+                f"train loader yields no batches: batch_size={batch} > "
+                f"dataset length {len(train_ds)} with drop_last — lower "
+                "model.batch_size or enlarge the dataset/split"
+            )
         train_factory = lambda e: train_loader.epoch(e)  # noqa: E731
         tcfg["steps_per_epoch"] = max(len(train_loader), 1)
 

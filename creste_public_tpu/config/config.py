@@ -95,9 +95,17 @@ def apply_overrides(cfg: Config, overrides: Iterable[str]) -> Config:
         key, _, raw = ov.partition("=")
         parts = key.lstrip("+").split(".")
         node = cfg
-        for p in parts[:-1]:
-            if p not in node or not isinstance(node[p], Mapping):
+        for i, p in enumerate(parts[:-1]):
+            if p not in node:
                 node[p] = Config()
+            elif not isinstance(node[p], Mapping):
+                # never silently clobber an existing non-mapping value
+                # (e.g. `model.loss.0.weight=...` crossing a list)
+                raise ValueError(
+                    f"Override {ov!r}: {'.'.join(parts[: i + 1])!r} is a "
+                    f"{type(node[p]).__name__}, not a config section — "
+                    "list/scalar paths cannot be overridden with dotted keys"
+                )
             node = node[p]
         node[parts[-1]] = _wrap(_parse_value(raw))
     return cfg
@@ -143,11 +151,22 @@ def compose_cli(
     groups, dotted = {}, []
     for ov in argv:
         key, _, val = ov.partition("=")
-        if "." not in key and os.path.isdir(
-            os.path.join(config_dir, key.lstrip("+"))
-        ):
-            groups[key.lstrip("+")] = val
+        bare = key.lstrip("+")
+        if "." not in key and os.path.isdir(os.path.join(config_dir, bare)):
+            groups[bare] = val
         else:
+            if "." not in key and not key.startswith("+"):
+                # a bare key that is not a config group is almost always a
+                # typo (hydra aborts here); require +key=... to add new
+                # top-level values (docs/TRAINING.md '+wandb_name=...')
+                known = sorted(
+                    d for d in os.listdir(config_dir)
+                    if os.path.isdir(os.path.join(config_dir, d))
+                )
+                raise ValueError(
+                    f"Unknown config group {key!r} (available: {known}); "
+                    f"use +{key}=... to set a new top-level value"
+                )
             dotted.append(ov)
     return compose(root, config_dir, dotted, group_overrides=groups)
 

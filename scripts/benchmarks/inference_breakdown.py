@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
 
+    from creste_public_tpu.utils.platform import ensure_env_platform
+
+    ensure_env_platform()
+
     import jax
 
     from __graft_entry__ import _example_inputs, entry

@@ -29,6 +29,10 @@ def main():
                     choices=["ssc", "traversability"])
     args = ap.parse_args()
 
+    from creste_public_tpu.utils.platform import ensure_env_platform
+
+    ensure_env_platform()
+
     import jax
 
     from creste_public_tpu.config import presets

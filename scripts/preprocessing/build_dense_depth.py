@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 1)
     args = ap.parse_args()
 
+    from creste_public_tpu.utils.platform import ensure_env_platform
+
+    ensure_env_platform()
+
     from creste_public_tpu.data.calib import load_poses
     from creste_public_tpu.preprocessing.depth import build_sequence_depth
 

@@ -117,6 +117,10 @@ def main():
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 1)
     args = ap.parse_args()
 
+    from creste_public_tpu.utils.platform import ensure_env_platform
+
+    ensure_env_platform()
+
     for seq in args.seqs:
         for task in args.tasks:
             if task == "elevation":

@@ -14,7 +14,9 @@ def main():
     ap.add_argument("--port", type=int, default=4242)
     ap.add_argument("--sampler", choices=["epsilon", "unicycle"],
                     default="epsilon")
-    ap.add_argument("--num_candidates", type=int, default=6)
+    ap.add_argument("--num_candidates", type=int, default=5,
+                    help="candidates per frame; expert + candidates must "
+                         "fit the dataset's n_counterfactuals pad (6)")
     args = ap.parse_args()
 
     from creste_public_tpu.annotation.app import serve

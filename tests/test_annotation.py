@@ -108,3 +108,38 @@ def test_http_contract(coda_root):
         assert "saved" in out
     finally:
         server.shutdown()
+
+
+def test_save_inverts_drag_order_to_per_trajectory_ranks(tmp_path):
+    """The frontend posts the drag ORDER (order[pos] = trajectory index);
+    the stored pickle must carry per-trajectory rank VALUES (reference
+    app.py:201-225; MaxEntIRLLoss/TREXLoss treat rank[i] element-wise)."""
+    import pickle
+
+    from creste_public_tpu.annotation.app import AnnotationBackend
+
+    b = AnnotationBackend(str(tmp_path))
+    path = b.save({
+        "seq": "0", "frame": 7,
+        "trajectories": [[[0, 0]], [[1, 1]], [[2, 2]], [[3, 3]]],
+        "rank": [3, 0, 1, 2],  # trajectory 3 dragged to the top
+    })
+    rec = pickle.load(open(path, "rb"))
+    assert rec["rank"] == [1, 2, 3, 0]  # rank OF trajectory i
+    # non-permutation payloads (reference-style 0/1 labels) pass through
+    path = b.save({
+        "seq": "0", "frame": 8,
+        "trajectories": [[[0, 0]], [[1, 1]], [[2, 2]]],
+        "rank": [0, 1, 1],
+    })
+    assert pickle.load(open(path, "rb"))["rank"] == [0, 1, 1]
+
+
+def test_epsilon_sampler_fills_odd_counts():
+    from creste_public_tpu.annotation import control as ctl
+
+    expert = np.stack([np.linspace(0, 10, 20), np.zeros(20)], 1)
+    out = ctl.sample_epsilon_trajectories(expert, 5, 25, seed=0)
+    assert out.shape[0] == 5
+    # every trajectory is non-degenerate (moves away from the origin)
+    assert all(np.abs(out[i, :, :2]).max() > 0 for i in range(5))
