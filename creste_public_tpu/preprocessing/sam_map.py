@@ -50,7 +50,10 @@ def majority_label_map(
     uniq, counts = np.unique(key, return_counts=True)
     u_cell = uniq // (labels.max() + 1)
     u_label = uniq % (labels.max() + 1)
-    order = np.argsort(counts)  # ascending: later writes win -> max count
+    # later writes win: ascending count, and within equal counts descending
+    # label so the SMALLEST label lands last — the reference's argmax
+    # tie-break (utils.py:105-123), pinned by the reference-exec golden
+    order = np.lexsort((-u_label, counts))
     out = np.zeros((grid * grid,), np.int32)
     out[u_cell[order]] = u_label[order]
     return out.reshape(grid, grid)

@@ -417,3 +417,54 @@ def test_reference_sam_label_filters(kernel):
     np.testing.assert_array_equal(
         expand_filter_2d(lab, kernel).astype(np.float64), ref_exp
     )
+
+
+# ---------------------------------------------------------------------------
+# Majority vote per cell (utils.py:105-123) + goal gaussian
+# (train_utils.py:806-834)
+# ---------------------------------------------------------------------------
+
+
+def test_reference_most_frequent_per_index():
+    """majority_label_map must reproduce the reference's per-cell majority
+    vote INCLUDING the argmax tie-break (smallest class wins a count tie)."""
+    from creste_public_tpu.preprocessing.sam_map import majority_label_map
+
+    fn, _ = exec_def("creste/utils/utils.py", "most_frequent_per_index")
+    rng = np.random.default_rng(8)
+    grid, mr, N, C = 16, 1.6, 500, 6
+    pts = rng.uniform(-mr + 1e-3, mr - 1e-3, (N, 3)).astype(np.float64)
+    labels = rng.integers(1, C, N)  # 0 = ignore, not sampled
+    # force count TIES in a few cells: duplicate coordinates with two labels
+    pts[:8] = pts[0]
+    labels[:4] = 5
+    labels[4:8] = 2
+
+    ours = majority_label_map(pts, labels, grid, mr)
+
+    from creste_public_tpu.preprocessing.sam_map import bev_cell_ids
+
+    cell, ok = bev_cell_ids(pts, grid, mr)
+    ref_major = fn(torch.from_numpy(labels[ok]).long(),
+                   torch.from_numpy(cell[ok]).long(), C)
+    uniq = np.unique(cell[ok])
+    ref_map = np.zeros((grid * grid,), np.int32)
+    ref_map[uniq] = ref_major.numpy()
+    np.testing.assert_array_equal(ours.reshape(-1), ref_map)
+
+
+def test_reference_gaussian_2d_goal():
+    from creste_public_tpu.models.lfd import gaussian_2d
+
+    fn, _ = exec_def("creste/utils/train_utils.py", "gaussian_2d")
+    torch.manual_seed(20)
+    B, H, W = 3, 16, 24
+    goals = torch.randint(0, min(H, W), (B, 2))
+    ref = fn(goals, 2.5, H, W).numpy()  # [B, 1, H, W]
+
+    import jax.numpy as jnp2
+
+    ours = np.asarray(gaussian_2d(jnp2.asarray(goals.numpy()), 2.5, H, W))
+    np.testing.assert_allclose(
+        ours[..., 0], ref[:, 0], rtol=1e-6, atol=1e-7
+    )
