@@ -645,48 +645,154 @@ class BalancedContrastiveLoss(Loss):
 
 class VicregLoss(Loss):
     """VICReg invariance/variance/covariance over anchor-vs-multiview BEV
-    features — loss_utils.py:737-969 (fixed-budget sampling redesign)."""
+    features — reference-exact semantics (loss_utils.py:737-969; the
+    reference's own code path is executed — with its stray ``pdb.set_trace``
+    stubbed — by the reference-exec golden):
+
+      * invariance (``compute_pairwise_loss``, :753-841): pairwise MSE
+        between anchor[i] and multiview[j] over every same-label pair of
+        sampled masked pixels, per batch item, summed over channels, divided
+        once by the *global* matching-pair count.
+      * variance (``compute_variance_loss``, :854-887): hinge
+        relu(1 - sqrt(var + 1e-4)) with unbiased variance over a per-label
+        sample (cap ``max_variance_samples``) of the masked features,
+        jointly across the batch, for each view; the two terms are summed.
+      * covariance (:933-941): off-diagonal² sum / Z of the full masked-set
+        covariance (divisor N-1), summed over the two views.
+
+    Static-shape redesign: per-label selection uses the capped sort-rank
+    sampler with fixed budgets ``sample_budget`` (per batch item, pairwise
+    term) and ``variance_budget`` (joint, variance term) — exact whenever the
+    budgets admit every masked pixel and the caps admit every class (the
+    regime where the reference's ``randperm[:cap]`` is also a complete,
+    permutation-invariant set; the golden pins it); otherwise a uniform
+    subsample stands in for the reference's randperm.
+
+    Label handling follows loss() (:904-916): ``3d_ssc_label`` count bins
+    reduce by argmax; any other label map is treated per-batch-distinct (the
+    reference remaps with a running offset, utils.py:59-80 — equality
+    structure is all the loss consumes, so the offset trick is exact).
+    Pixels at ``ignore_index`` or outside the FOV are excluded (:921).
+    (Not reproduced: the reference quirk where a batch item *without* any
+    ignore-id pixel gets its smallest label remapped to the ignore id and
+    thereby masked out — unreachable on real SAM maps, which always carry
+    background 0.)
+    """
 
     def loss(self, td, aux):
         anchor = td[self.config["pred_key"]]  # [B, H, W, Z]
         mv = td[self.config["pred_mv_key"]]
         fov = td[self.config.get("fov_key", "inputs/fov_mask")]
+        gt = td[self.config["lab_key"]]
         sim_c = float(self.config.get("sim_coeff", 1.0))
         std_c = float(self.config.get("std_coeff", 1.0))
         cov_c = float(self.config.get("cov_coeff", 1.0))
+        ignore = int(self.config.get("ignore_index", 0))
+        pair_budget = int(self.config.get("sample_budget", 1024))
+        var_budget = int(self.config.get("variance_budget", 512))
+        pair_cap = int(self.config.get("max_samples_per_label", 2000))
+        var_cap = int(self.config.get("max_variance_samples", 1))
 
         B, H, W, Z = anchor.shape
-        mask = fov.astype(jnp.float32)
+        if gt.ndim == 4 and gt.shape[-1] == 1:
+            gt = gt[..., 0]
+        if self.config["lab_key"].endswith("3d_ssc_label") and gt.ndim == 4:
+            # count-bin labels: argmax class (normalisation at :910-911
+            # cannot change the argmax)
+            label = _gt_mode(gt, -1)
+            joint_label = label  # class ids shared across the batch
+        else:
+            label = gt.astype(jnp.int32)
+            # remap_labels_in_batch: instances distinct across batch items
+            joint_label = remap_labels_per_batch(label, ignore_idx=ignore)
+        label = label.astype(jnp.int32)
+
+        mask = fov
         if mask.shape[-2:] != (H, W):
-            mask = jax.image.resize(mask, (B, H, W), "nearest")
-        m = mask[..., None]
-        n = jnp.maximum(m.sum(), 1.0)
+            mask = jax.image.resize(
+                mask.astype(jnp.float32), (B, H, W), "nearest"
+            )
+        valid = mask.astype(bool) & (label != ignore)
 
-        # invariance: masked MSE between anchor and aggregated views
-        sim = jnp.sum(((anchor - mv) ** 2) * m) / (n * Z)
+        rng = aux.get("rng", None)
+        if rng is not None:
+            rng_pair, rng_var = jax.random.split(rng)
+            pair_rngs = jax.random.split(rng_pair, B)
+        else:
+            rng_var = None
+            pair_rngs = None
 
-        def std_cov(x):
-            xm = x.reshape(B * H * W, Z)
-            w = m.reshape(B * H * W, 1)
-            mean = jnp.sum(xm * w, 0) / n
-            xc = (xm - mean) * w
-            var = jnp.sum(xc * xc, 0) / jnp.maximum(n - 1, 1.0)
-            std_loss = jnp.mean(jnp.maximum(0.0, 1.0 - jnp.sqrt(var + 1e-4)))
-            cov = (xc.T @ xc) / jnp.maximum(n - 1, 1.0)
-            off = cov - jnp.diag(jnp.diag(cov))
-            cov_loss = jnp.sum(off**2) / Z
-            return std_loss, cov_loss
+        # ---- invariance: same-label pairwise MSE, per batch item ----
+        a_flat = anchor.reshape(B, H * W, Z)
+        m_flat = mv.reshape(B, H * W, Z)
+        l_flat = label.reshape(B, H * W)
+        v_flat = valid.reshape(B, H * W)
 
-        std_a, cov_a = std_cov(anchor)
-        std_b, cov_b = std_cov(mv)
-        loss = (
-            sim_c * sim
-            + std_c * 0.5 * (std_a + std_b)
-            + cov_c * 0.5 * (cov_a + cov_b)
+        def per_batch(a, m, ll, vv, key):
+            idx, sel = capped_class_sample(
+                ll, vv, pair_budget, cap=pair_cap, rng=key, use_median=False
+            )
+            A, M, li = a[idx], m[idx], ll[idx]
+            eq = (
+                (li[:, None] == li[None, :])
+                & sel[:, None]
+                & sel[None, :]
+            )
+            # sum_{eq} ||a_i - m_j||^2 without the [S,S,Z] tensor:
+            # ||a_i||^2 + ||m_j||^2 - 2 a_i.m_j
+            aa = jnp.sum(A * A, -1)
+            mm = jnp.sum(M * M, -1)
+            pair = aa[:, None] + mm[None, :] - 2.0 * (A @ M.T)
+            eqf = eq.astype(a.dtype)
+            return jnp.sum(pair * eqf), jnp.sum(eqf)
+
+        if pair_rngs is None:
+            totals, counts = jax.vmap(
+                lambda a, m, ll, vv: per_batch(a, m, ll, vv, None)
+            )(a_flat, m_flat, l_flat, v_flat)
+        else:
+            totals, counts = jax.vmap(per_batch)(
+                a_flat, m_flat, l_flat, v_flat, pair_rngs
+            )
+        sim = jnp.sum(totals) / jnp.maximum(jnp.sum(counts), 1.0)
+
+        # ---- variance: per-label sampled, joint across the batch ----
+        jl = joint_label.reshape(-1)
+        jv = valid.reshape(-1)
+        vidx, vsel = capped_class_sample(
+            jl, jv, var_budget, cap=var_cap, rng=rng_var, use_median=False
         )
+
+        def std_hinge(x):
+            s = x.reshape(-1, Z)[vidx]
+            w = vsel.astype(x.dtype)[:, None]
+            n = jnp.sum(w)
+            mean = jnp.sum(s * w, 0) / jnp.maximum(n, 1.0)
+            var = jnp.sum(((s - mean) ** 2) * w, 0) / jnp.maximum(n - 1, 1.0)
+            hinge = jnp.mean(jnp.maximum(0.0, 1.0 - jnp.sqrt(var + 1e-4)))
+            return jnp.where(n > 1, hinge, 0.0)
+
+        std = std_hinge(anchor) + std_hinge(mv)
+
+        # ---- covariance: full masked set, both views, summed ----
+        wcol = valid.reshape(B * H * W, 1).astype(anchor.dtype)
+        n_all = jnp.maximum(jnp.sum(wcol), 1.0)
+
+        def cov_term(x):
+            xm = x.reshape(B * H * W, Z)
+            mean = jnp.sum(xm * wcol, 0) / n_all
+            xc = (xm - mean) * wcol
+            cov = (xc.T @ xc) / jnp.maximum(n_all - 1, 1.0)
+            off = cov - jnp.diag(jnp.diag(cov))
+            return jnp.sum(off**2) / Z
+
+        cov = cov_term(anchor) + cov_term(mv)
+
+        loss = sim_c * sim + std_c * std + cov_c * cov
         return {"vicreg_loss": loss}, {
-            "vicreg/sim": sim, "vicreg/std": 0.5 * (std_a + std_b),
-            "vicreg/cov": 0.5 * (cov_a + cov_b),
+            "vicreg/sim": sim_c * sim,
+            "vicreg/std": std_c * std,
+            "vicreg/cov": cov_c * cov,
         }
 
 

@@ -49,6 +49,7 @@ def capped_class_sample(
     max_samples: int,
     cap: int = 1000,
     rng: Array | None = None,
+    use_median: bool = True,
 ) -> tuple[Array, Array]:
     """Select up to min(median class count, cap) elements per class.
 
@@ -59,6 +60,9 @@ def capped_class_sample(
       max_samples: static output size M.
       cap: per-class hard cap (reference: 1000).
       rng: PRNG key for random within-class selection (None -> deterministic).
+      use_median: when False, skip the median-class-count clamp and cap each
+        class at ``cap`` alone (the VicregLoss sampling regime,
+        loss_utils.py:806-818, vs SupCon's min(median, cap), 276-283).
 
     Returns:
       idx: [M] int32 indices into the flat arrays.
@@ -112,7 +116,7 @@ def capped_class_sample(
     median = jnp.where(
         n_classes > 0, sorted_sizes[jnp.clip(med_idx, 0, N - 1)], 0
     )
-    k = jnp.minimum(median, cap)
+    k = jnp.minimum(median, cap) if use_median else jnp.asarray(cap)
 
     keep = sorted_valid & (rank < k)
     # choose the first max_samples kept elements (they're class-sorted);

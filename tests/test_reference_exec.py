@@ -911,3 +911,82 @@ def test_reference_bal_contrastive_loss(loss_type):
     )
     np.testing.assert_allclose(float(j_loss), float(ref_loss), rtol=1e-5,
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("ssc", [False, True])
+def test_reference_vicreg_loss(ssc, monkeypatch):
+    """VicregLoss (loss_utils.py:737-969) executed against the flax
+    implementation. The reference's loss() carries an unconditional
+    ``import pdb; pdb.set_trace()`` before the final sum (:943-944) — the
+    path is dead in production, so this golden stubs sys.modules['pdb'] to
+    execute it. Deterministic regime: per-label caps admit every masked
+    pixel, so the reference's randperm selections are complete,
+    permutation-invariant sets."""
+    import sys
+
+    stub = types.ModuleType("pdb")
+    stub.set_trace = lambda *a, **k: None
+    monkeypatch.setitem(sys.modules, "pdb", stub)
+
+    ns = base_ns(DEBUG_VICREG_LOSS=False)
+    exec_def("creste/utils/utils.py", "remap_labels_in_batch", ns)
+    ns["utils"] = types.SimpleNamespace(
+        remap_labels_in_batch=ns["remap_labels_in_batch"]
+    )
+    exec_def("creste/utils/loss_utils.py", "Loss", ns)
+    exec_def("creste/utils/loss_utils.py", "VicregLoss", ns)
+
+    torch.manual_seed(21)
+    B, Z, H, W = 2, 6, 10, 12
+    C = 4
+    pred = torch.randn(B, Z, H, W)
+    pred_mv = torch.randn(B, Z, H, W)
+    fov = torch.rand(B, H, W) > 0.3
+    if ssc:
+        lab_key = "inputs/3d_ssc_label"
+        gt = torch.rand(B, 1, C, H, W)  # count bins; float -> unique argmax
+    else:
+        lab_key = "l"
+        gt = torch.randint(0, C, (B, 1, H, W))
+
+    cfg = _Cfg(
+        name="VicregLoss", task="fsc", pred_key="p", pred_mv_key="pm",
+        lab_key=lab_key, sim_coeff=0.5, std_coeff=1.3, cov_coeff=0.7,
+        max_samples_per_label=2000, max_variance_samples=1000,
+    )
+    ref = ns["VicregLoss"](cfg)
+    ref_losses, _ = ref.loss(
+        {"p": pred, "pm": pred_mv, lab_key: gt, "inputs/fov_mask": fov}
+    )
+
+    ours = lm.VicregLoss(
+        {"name": "VicregLoss", "pred_key": "p", "pred_mv_key": "pm",
+         "lab_key": lab_key, "sim_coeff": 0.5, "std_coeff": 1.3,
+         "cov_coeff": 0.7, "max_samples_per_label": 2000,
+         "max_variance_samples": 1000, "sample_budget": 128,
+         "variance_budget": 256}
+    )
+    gt_j = (
+        jnp.asarray(t2n(gt)[:, 0].transpose(0, 2, 3, 1))
+        if ssc else jnp.asarray(t2n(gt)[:, 0])
+    )
+    j_losses, j_meta = ours.loss(
+        {"p": jnp.asarray(t2n(pred).transpose(0, 2, 3, 1)),
+         "pm": jnp.asarray(t2n(pred_mv).transpose(0, 2, 3, 1)),
+         lab_key: gt_j,
+         "inputs/fov_mask": jnp.asarray(t2n(fov))},
+        {},
+    )
+    np.testing.assert_allclose(
+        float(j_losses["vicreg_loss"]), float(ref_losses["fsc/vicreg_loss"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    for ours_key, ref_key in [
+        ("vicreg/sim", "fsc/vicreg_sim_loss"),
+        ("vicreg/std", "fsc/vicreg_std_loss"),
+        ("vicreg/cov", "fsc/vicreg_cov_loss"),
+    ]:
+        np.testing.assert_allclose(
+            float(j_meta[ours_key]), float(ref_losses[ref_key]),
+            rtol=1e-4, atol=1e-5, err_msg=ours_key,
+        )

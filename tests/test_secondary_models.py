@@ -148,6 +148,8 @@ def test_vicreg_loss_registered():
             rng.normal(size=(2, 8, 8, 4)).astype(np.float32)),
         "outputs/bev_features_mv": jnp.asarray(
             rng.normal(size=(2, 8, 8, 4)).astype(np.float32)),
+        "inputs/3d_sam_label": jnp.asarray(
+            rng.integers(0, 4, size=(2, 8, 8)).astype(np.int32)),
         "inputs/fov_mask": jnp.ones((2, 8, 8)),
     }
     ld, meta = mgr(td)
