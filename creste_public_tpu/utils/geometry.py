@@ -214,6 +214,14 @@ def fov_sector_overlap(
     the fraction of the query sector covered — same coarse distance gate,
     same sector geometry, vectorised over all db poses.
 
+    QUIRK reproduced (pinned by the reference-exec golden): the reference's
+    `sector()` builds its polygon with *compass* angles (x = sin, y = cos,
+    geometry.py:7) while the heading comes from `atan2(R10, R00)` (:40) — so
+    a pose with heading θ gets a sector pointing along (sin θ, cos θ), the
+    reflection of the camera axis across y = x. The on-disk overlap graphs
+    carry this geometry, so we reproduce it: in-sector test compares the
+    compass angle `atan2(dx, dy)` of the center→point ray against θ.
+
     Args:
       query_se2: [3, 3] query SE(2) pose (metres).
       db_se2: [N, 3, 3] database poses.
@@ -224,9 +232,10 @@ def fov_sector_overlap(
     N = db.shape[0]
     out = np.zeros((N,), np.float64)
 
-    # coarse gate: centres further than max_dist cannot overlap
+    # coarse gate: centres at max_dist or further cannot overlap
+    # (strict `<`, geometry.py:69)
     d = np.linalg.norm(db[:, :2, 2] - q[:2, 2], axis=1)
-    cand = np.nonzero(d <= max_dist)[0]
+    cand = np.nonzero(d < max_dist)[0]
     if len(cand) == 0:
         return out
 
@@ -241,7 +250,8 @@ def fov_sector_overlap(
         rel = pts - pose[:2, 2]
         dist = np.linalg.norm(rel, axis=1)
         heading = np.arctan2(pose[1, 0], pose[0, 0])
-        ang = np.arctan2(rel[:, 1], rel[:, 0]) - heading
+        # compass angle of the ray (see QUIRK above)
+        ang = np.arctan2(rel[:, 0], rel[:, 1]) - heading
         ang = (ang + np.pi) % (2 * np.pi) - np.pi
         half = np.deg2rad(fov_deg) / 2
         return (dist <= view_dist) & (np.abs(ang) <= half)
@@ -261,18 +271,21 @@ def get_overlapping_views(
     fov_deg: float = 70.0,
     view_dist: float = 12.8,
     max_dist: float = 19.2,
+    grid: int = 64,
 ) -> np.ndarray:
-    """Indices of db poses whose FOV overlap with the query lies in
-    [tp_min, tp_max] (geometry.py:26 contract; excludes the query itself)."""
+    """Indices of db poses whose FOV overlap ratio with the query lies
+    strictly inside (tp_min, tp_max) — geometry.py:87 contract. The query
+    pose itself is excluded by the same filter (its self-overlap ratio is
+    1.0 > tp_max; the reference's explicit exclusion is commented out at
+    geometry.py:104)."""
     se2 = np.zeros((db_poses_se3.shape[0], 3, 3))
     se2[:, :2, :2] = db_poses_se3[:, :2, :2]
     se2[:, :2, 2] = db_poses_se3[:, :2, 3]
     se2[:, 2, 2] = 1.0
     frac = fov_sector_overlap(
-        se2[query_idx], se2, fov_deg, view_dist, max_dist
+        se2[query_idx], se2, fov_deg, view_dist, max_dist, grid=grid
     )
-    ok = (frac >= tp_min) & (frac <= tp_max)
-    ok[query_idx] = False
+    ok = (frac > tp_min) & (frac < tp_max)
     return np.nonzero(ok)[0]
 
 

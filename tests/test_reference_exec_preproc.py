@@ -468,3 +468,120 @@ def test_reference_gaussian_2d_goal():
     np.testing.assert_allclose(
         ours[..., 0], ref[:, 0], rtol=1e-6, atol=1e-7
     )
+
+
+# ---------------------------------------------------------------------------
+# get_overlapping_views (creste/utils/geometry.py:26-109) — executed with a
+# minimal shapely stand-in (convex polygon clip + shoelace area)
+# ---------------------------------------------------------------------------
+
+
+class _ShPoint:
+    def __init__(self, x, y):
+        self.x, self.y = float(x), float(y)
+
+
+def _shoelace2(v):
+    return sum(
+        v[i][0] * v[(i + 1) % len(v)][1] - v[(i + 1) % len(v)][0] * v[i][1]
+        for i in range(len(v))
+    )
+
+
+class _ShPolygon:
+    """Just enough shapely.geometry.Polygon for the reference's sector
+    intersection: `.area` (shoelace) and `.intersection` (Sutherland-Hodgman
+    — exact here because the 70-degree sector polygons are convex)."""
+
+    def __init__(self, verts):
+        self.v = [(float(p[0]), float(p[1])) for p in verts]
+
+    @property
+    def area(self):
+        return abs(_shoelace2(self.v)) / 2.0 if len(self.v) >= 3 else 0.0
+
+    def intersection(self, other):
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+        clip = other.v if _shoelace2(other.v) > 0 else other.v[::-1]
+        out = self.v
+        for i in range(len(clip)):
+            a, b = clip[i], clip[(i + 1) % len(clip)]
+            if a == b:  # degenerate edge (duplicated sector apex)
+                continue
+            cur, out = out, []
+            for j in range(len(cur)):
+                p, q = cur[j], cur[(j + 1) % len(cur)]
+                cp, cq = cross(a, b, p), cross(a, b, q)
+                if cp >= 0:
+                    out.append(p)
+                    if cq < 0:
+                        t = cp / (cp - cq)
+                        out.append(
+                            (p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1]))
+                        )
+                elif cq >= 0:
+                    t = cp / (cp - cq)
+                    out.append(
+                        (p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1]))
+                    )
+            if not out:
+                break
+        return _ShPolygon(out)
+
+
+def test_reference_get_overlapping_views():
+    """Executes the reference's shapely sector-intersection overlap graph
+    (incl. its compass-angle sector quirk: polygons built with x=sin/y=cos
+    while headings come from atan2 — geometry.py:7,40) against the
+    rasterised fov_sector_overlap / get_overlapping_views."""
+    from creste_public_tpu.utils import geometry as geo
+
+    ns = base_ns(Point=_ShPoint, Polygon=_ShPolygon)
+    exec_def("creste/utils/geometry.py", "sector", ns)
+    ref_fn, _ = exec_def("creste/utils/geometry.py", "get_overlapping_views", ns)
+
+    rng = np.random.default_rng(11)
+    B = 24
+    db = np.zeros((B, 4, 4))
+    yaw = rng.uniform(-np.pi, np.pi, B)
+    db[:, 0, 0] = np.cos(yaw)
+    db[:, 0, 1] = -np.sin(yaw)
+    db[:, 1, 0] = np.sin(yaw)
+    db[:, 1, 1] = np.cos(yaw)
+    db[:, 0, 3] = rng.uniform(-16, 16, B)
+    db[:, 1, 3] = rng.uniform(-16, 16, B)
+    db[:, 2, 2] = db[:, 3, 3] = 1.0
+    db[0, :3, :3] = np.eye(3)
+    db[0, :3, 3] = 0.0
+
+    # wide-open thresholds expose the raw ratio for every coarse candidate
+    ref_all = ref_fn(0, db, tp_min=-1.0, tp_max=2.0)
+    ratio = dict(
+        zip(ref_all["overlap_ids"].tolist(), ref_all["overlap_ratio"].tolist())
+    )
+    assert len(ratio) > 4  # several coarse candidates in range
+
+    se2 = np.zeros((B, 3, 3))
+    se2[:, :2, :2] = db[:, :2, :2]
+    se2[:, :2, 2] = db[:, :2, 3]
+    se2[:, 2, 2] = 1.0
+    frac = geo.fov_sector_overlap(se2[0], se2, grid=256)
+    for i, r in ratio.items():
+        np.testing.assert_allclose(frac[i], r, atol=0.03, err_msg=str(i))
+    # coarse-gated poses must be exactly zero on our side too
+    for i in range(B):
+        if i not in ratio:
+            d = np.linalg.norm(db[i, :2, 3] - db[0, :2, 3])
+            if d >= 19.2:
+                assert frac[i] == 0.0
+
+    # default-threshold id sets agree away from the rasterisation margin
+    ref_ids = set(ref_fn(0, db)["overlap_ids"].tolist())
+    ours_ids = set(geo.get_overlapping_views(0, db, grid=256).tolist())
+    near = {
+        i for i, r in ratio.items()
+        if min(abs(r - 0.1), abs(r - 0.8)) < 0.04
+    }
+    assert ref_ids - near == ours_ids - near
