@@ -48,24 +48,48 @@ def read_split(root: str, split: str) -> list[tuple[str, int]]:
 
 
 def balanced_infos_resampling(
-    samples: list, distances: np.ndarray, num_bins: int = 20, seed: int = 0
+    samples: list, distances: np.ndarray, num_bins: int = 20, rng=None
 ) -> tuple[list, np.ndarray]:
-    """Resample so trajectory-deviation bins are uniformly represented
-    (codapefree_dataloader.py:295-299 behaviour: rare curvatures repeated)."""
+    """Distance-balanced OVERsampling — reference-exact semantics
+    (train_utils.py:836-905, called with num_bins=20 at
+    codapefree_dataloader.py:297-299; pinned by the reference-exec golden):
+
+    * every original sample is kept, grouped by bin in bin-index order;
+    * bins under the uniform 1/num_bins share draw
+      ``int(len * (1/num_bins / (frac + 1e-3) - 1))`` extra samples, with
+      replacement only when the extra count exceeds the bin size;
+    * bin edges are ``linspace(min, max, num_bins)`` with right-closed
+      digitize — so the first bin holds only exact-minimum values
+      (reference quirk, carried).
+
+    ``rng``: anything with ``.choice`` (the reference draws from the global
+    ``np.random`` state); defaults to a seeded RandomState for
+    reproducibility.
+    """
     distances = np.asarray(distances, float)
-    edges = np.linspace(distances.min(), distances.max() + 1e-9, num_bins + 1)
-    which = np.clip(np.digitize(distances, edges) - 1, 0, num_bins - 1)
-    rng = np.random.default_rng(seed)
-    target = max(1, len(samples) // num_bins)
-    out_s, out_d = [], []
-    for b in range(num_bins):
+    n = len(samples)
+    if rng is None:
+        rng = np.random.RandomState(0)
+    bins = np.linspace(distances.min(), distances.max(), num_bins)
+    which = np.digitize(distances, bins, right=True) + 1
+    out_idx: list[int] = []
+    for b in range(1, num_bins + 1):
         idx = np.nonzero(which == b)[0]
-        if len(idx) == 0:
+        k = len(idx)
+        if k == 0:
             continue
-        picks = rng.choice(idx, target, replace=len(idx) < target)
-        out_s.extend(samples[i] for i in picks)
-        out_d.extend(distances[i] for i in picks)
-    return out_s, np.asarray(out_d)
+        frac = k / n
+        ratio = (1.0 / num_bins) / (frac + 1e-3)
+        extra = int(k * (ratio - 1.0))
+        out_idx.extend(idx.tolist())
+        if extra > 0:
+            # index-based choice draws the same RNG sequence as the
+            # reference's value-based np.random.choice
+            picks = rng.choice(k, extra, replace=extra > k)
+            out_idx.extend(int(idx[p]) for p in np.atleast_1d(picks))
+    out_s = [samples[i] for i in out_idx]
+    out_d = distances[np.asarray(out_idx, int)]
+    return out_s, out_d
 
 
 def filter_split(

@@ -25,6 +25,7 @@ from creste_public_tpu.losses.supcon import (
     remap_labels_per_batch,
 )
 from creste_public_tpu.ops.rasterize import rasterize_trajectory
+from creste_public_tpu.utils.imageops import resize_and_crop, resize_nearest
 
 Array = jax.Array
 
@@ -82,7 +83,7 @@ class CrossEntropyDepth(Loss):
         B, S, H, W = gt.shape
         gt = gt.reshape(B * S, H, W)
         if pred.shape[1:3] != gt.shape[1:3]:
-            gt = jax.image.resize(gt, (B * S,) + pred.shape[1:3], "nearest")
+            gt = resize_nearest(gt, pred.shape[1:3])
         disc = self.config["discretize"]
         nb = int(disc["num_bins"])
         gt_bin = du.bin_depths(
@@ -112,7 +113,7 @@ class SmoothL1Depth(Loss):
         B, S, H, W = gt.shape
         gt = gt.reshape(B * S, H, W)
         if pred.shape[1:3] != gt.shape[1:3]:
-            gt = jax.image.resize(gt, (B * S,) + pred.shape[1:3], "nearest")
+            gt = resize_nearest(gt, pred.shape[1:3])
         disc = self.config["discretize"]
         nb = int(disc["num_bins"])
         gt_bin = du.bin_depths(
@@ -432,10 +433,11 @@ class MaxEntIRLLoss(Loss):
         alpha = self.config.get("alpha", None)
 
         B, Ho, Wo = fov.shape
-        # resize to half res (nearest) then crop the front [0:H, 0:W]
-        fov_r = jax.image.resize(
-            fov.astype(jnp.float32), (B, Ho // 2, Wo // 2), "nearest"
-        )[:, :H, :W].astype(bool)
+        # torch-nearest resize to half res, crop the front [0:H, 0:W]
+        # (loss_utils.py:1134-1136 via tu.resize_and_crop)
+        fov_r = resize_and_crop(
+            fov.astype(jnp.float32), (Ho // 2, Wo // 2), (0, H, 0, W)
+        ).astype(bool)
 
         xy = gt[:, :, :2, 2]
         svf = rasterize_trajectory(xy, map_ds, (H, W))
@@ -475,7 +477,17 @@ class MaxEntIRLLoss(Loss):
         reward_penalty = jnp.asarray(0.0)
         reward_fn = aux.get("reward_fn", None)
         if reward_fn is not None and reward_w > 0:
-            grad_iv = jax.grad(lambda iv: reward_fn(iv).sum())(input_view)
+            # the reference masks reward_preds BEFORE the autograd.grad
+            # (loss_utils.py:1193-1216 "differentiable masking"), so under
+            # use_fov_mask the penalty sees zero gradients — and (0-1)^2
+            # contributions — outside the FOV; reproduce that exactly
+            def _masked_reward_sum(iv):
+                r = reward_fn(iv)[..., 0]
+                if use_fov:
+                    r = r * fov_r.astype(r.dtype)
+                return r.sum()
+
+            grad_iv = jax.grad(_masked_reward_sum)(input_view)
             # eps-safe channel L2 norm: d||x||/dx at x=0 is NaN, and the
             # ReLU'd reward net produces exactly-zero d r/d input at dead
             # positions — the bare norm poisons the second-order backward
@@ -709,9 +721,7 @@ class VicregLoss(Loss):
 
         mask = fov
         if mask.shape[-2:] != (H, W):
-            mask = jax.image.resize(
-                mask.astype(jnp.float32), (B, H, W), "nearest"
-            )
+            mask = resize_nearest(mask.astype(jnp.float32), (H, W))
         valid = mask.astype(bool) & (label != ignore)
 
         rng = aux.get("rng", None)

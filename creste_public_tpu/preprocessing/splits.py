@@ -143,16 +143,24 @@ def drop_overlapping_horizons(
     """Greedy per-sequence thinning: keep a (seq, frame) sample only if its
     ``horizon``-frame window does not overlap the previously kept one.
 
-    Reference: creste/utils/utils.py:125-160 (imported by the dataloader for
-    horizon-sample deduplication). Input order is preserved for kept rows.
+    Reference-exact (creste/utils/utils.py:125-160, pinned by the exec
+    golden): rows are lexsorted by (int(seq), frame) and the kept rows are
+    returned in that sorted order — the reference returns
+    ``finfos[sort_idx[keep]]``, not the input order. The first frame of each
+    sequence is always kept.
     """
+
+    def seq_key(s):
+        s = str(s)
+        return int(s) if s.lstrip("-").isdigit() else s
+
     order = sorted(range(len(samples)),
-                   key=lambda i: (str(samples[i][0]), int(samples[i][1])))
-    keep = set()
+                   key=lambda i: (seq_key(samples[i][0]), int(samples[i][1])))
+    out = []
     last: dict[str, int] = {}
     for i in order:
         seq, frame = str(samples[i][0]), int(samples[i][1])
-        if seq not in last or frame >= last[seq] + horizon:
-            keep.add(i)
+        if seq not in last or frame - last[seq] >= horizon:
+            out.append(samples[i])
             last[seq] = frame
-    return [s for i, s in enumerate(samples) if i in keep]
+    return out

@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--horizon", type=int, default=100)
     ap.add_argument("--min_distance", type=float, default=3.0)
     ap.add_argument("--curved_threshold", type=float, default=0.5)
+    ap.add_argument("--overlap", type=int, default=0,
+                    help="if >0, thin samples whose horizon windows overlap "
+                         "(reference build_splits.py:65)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--workers", type=int, default=1,
                     help="process-pool size over sequences")
@@ -48,6 +51,8 @@ def main():
         samples += [(seq, f) for f in curved + straight]
         # key by (seq, frame): frame-only keys collide across sequences
         dists.update({(seq, f): v for f, v in d.items()})
+    if args.overlap > 0:
+        samples = sp.drop_overlapping_horizons(samples, args.overlap)
     parts = sp.train_val_test(samples)
     out = args.out or os.path.join(args.root, "splits")
     sp.write_split_files(out, parts, dists)

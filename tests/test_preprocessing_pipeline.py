@@ -163,6 +163,9 @@ def test_drop_overlapping_horizons():
 
     samples = [("0", 0), ("0", 3), ("0", 10), ("1", 2), ("1", 4), ("0", 25)]
     out = drop_overlapping_horizons(samples, horizon=10)
-    assert out == [("0", 0), ("0", 10), ("1", 2), ("0", 25)]
-    # horizon 1 keeps everything
-    assert drop_overlapping_horizons(samples, 1) == samples
+    # reference contract: kept rows come back (seq, frame)-sorted
+    assert out == [("0", 0), ("0", 10), ("0", 25), ("1", 2)]
+    # horizon 1 keeps everything (sorted)
+    assert drop_overlapping_horizons(samples, 1) == sorted(
+        samples, key=lambda s: (int(s[0]), s[1])
+    )

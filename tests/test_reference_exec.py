@@ -30,6 +30,7 @@ import textwrap
 import types
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -990,3 +991,364 @@ def test_reference_vicreg_loss(ssc, monkeypatch):
             float(j_meta[ours_key]), float(ref_losses[ref_key]),
             rtol=1e-4, atol=1e-5, err_msg=ours_key,
         )
+
+
+# ---------------------------------------------------------------------------
+# Camera2World + _points_to_voxels (the geometry leg of the flagship graph)
+# ---------------------------------------------------------------------------
+
+
+class _BufSelf:
+    """nn.Module stand-in: register_buffer(name, val) -> attribute."""
+
+    def register_buffer(self, name, val):
+        setattr(self, name, val)
+
+
+def _exec_register_buffers(rel: str, classname: str, names, ns):
+    """Execute the reference's own ``self.register_buffer(...)`` statements
+    from ``classname.__init__`` (in source order) against ns['self']."""
+    src = _read(rel)
+    cls = _find(ast.parse(src).body, classname)
+    init = _find(cls.body, "__init__")
+    want = set(names)
+    for stmts in _stmt_lists(init.body):
+        for s in stmts:
+            v = getattr(s, "value", None)
+            if (
+                isinstance(s, ast.Expr)
+                and isinstance(v, ast.Call)
+                and isinstance(v.func, ast.Attribute)
+                and v.func.attr == "register_buffer"
+                and isinstance(v.args[0], ast.Constant)
+                and v.args[0].value in want
+            ):
+                code = textwrap.dedent(ast.get_source_segment(src, s))
+                exec(compile(code, f"<buf:{v.args[0].value}>", "exec"), ns)
+
+
+def test_reference_camera2world():
+    """Camera2World.forward (splat_projection.py:12-51): [u*d, v*d, d, 1]
+    homogeneous rays through the 4x4 p2p matrix, vs backproject_depth."""
+    cls, _ = exec_def(
+        "creste/models/blocks/splat_projection.py", "Camera2World"
+    )
+    torch.manual_seed(3)
+    B, N, H, W = 2, 2, 6, 9
+    depth = torch.rand(B, N, H, W) * 20.0
+    p2p = torch.randn(B, N, 4, 4) * 0.3
+    p2p[..., 3, :] = torch.tensor([0.0, 0.0, 0.0, 1.0])
+    ref = cls()((depth, p2p))  # [B, N, 3, H, W]
+
+    ours = geometry.backproject_depth(
+        jnp.asarray(t2n(depth)), jnp.asarray(t2n(p2p))
+    )  # [B, N, H, W, 3]
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 1, 4, 2, 3), t2n(ref),
+        rtol=1e-5, atol=1e-4,
+    )
+
+
+def test_reference_points_to_voxels():
+    """_points_to_voxels (splat_projection.py:175-189) with the lidar2map /
+    voxel_size buffers built by the reference's own register_buffer
+    statements (:66-88) — pins both the axis-swap matrix literal and the
+    voxel division against lidar_to_map_matrix + points_to_voxels."""
+    ns = base_ns()
+    stub = _BufSelf()
+    ns["self"] = stub
+    ns["model_cfg"] = types.SimpleNamespace(
+        point_cloud_range=[-12.8, -12.8, -2.0, 12.8, 12.8, 1.0],
+        voxel_size=[0.1, 0.1, 3.0],
+    )
+    _exec_register_buffers(
+        "creste/models/blocks/splat_projection.py", "Camera2MapMulti",
+        ("point_cloud_range", "max_bound", "min_bound", "voxel_size",
+         "lidar2map"),
+        ns,
+    )
+    fn, _ = exec_def(
+        "creste/models/blocks/splat_projection.py",
+        "Camera2MapMulti._points_to_voxels",
+    )
+
+    # the fixed map matrix itself must match the reference's literal
+    ours_mat = geometry.lidar_to_map_matrix(t2n(stub.min_bound)[0])
+    np.testing.assert_allclose(ours_mat, t2n(stub.lidar2map), atol=0)
+
+    torch.manual_seed(4)
+    pts = (torch.rand(3, 50, 3) - 0.5) * 30.0
+    ref = fn(stub, pts)  # [B, 50, 2]
+
+    ours = geometry.points_to_voxels(
+        jnp.asarray(t2n(pts)),
+        jnp.asarray(ours_mat),
+        jnp.asarray(t2n(stub.voxel_size)[:2]),
+    )
+    np.testing.assert_allclose(np.asarray(ours), t2n(ref), rtol=1e-5,
+                               atol=1e-4)
+
+
+def test_reference_metric_depth_differentiable():
+    """convert_to_metric_depth_differentiable (depth_utils.py:300-313):
+    softmax-expectation over linspace bin centres, and the /1000
+    mm->m step of DepthCompletion._convert_to_metric_depth (depth.py:100)."""
+    fn, _ = exec_def(
+        "creste/utils/depth_utils.py", "convert_to_metric_depth_differentiable"
+    )
+    torch.manual_seed(5)
+    B, D, H, W = 2, 32, 8, 10
+    logits = torch.randn(B, D, H, W) * 2.0
+    ref = fn(logits, "UD", 300.0, 25600.0, D) / 1000.0
+
+    ours = du_jax.metric_depth_from_logits(
+        jnp.asarray(t2n(logits).transpose(0, 2, 3, 1)),
+        "UD", 300.0, 25600.0, D,
+    ) / 1000.0
+    np.testing.assert_allclose(
+        np.asarray(ours), t2n(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+# ---------------------------------------------------------------------------
+# MaxEntIRLLoss.loss end-to-end with use_fov_mask=True (the shipped
+# traversability config: terrainnet_maxentirlcf_msfcn_sam2dynsemelev.yaml:91)
+# ---------------------------------------------------------------------------
+
+
+def test_reference_maxent_irl_loss_fov_e2e():
+    """Execute the reference's FULL MaxEntIRLLoss.loss (loss_utils.py:
+    1118-1259) — fov resize_and_crop, expert + counterfactual rasterization,
+    alpha mixing, differentiable fov masking of the reward, and the
+    second-order gradient penalty — and assert loss, every meta field, AND
+    d(loss)/d(state_features) match our flax MaxEntIRLLoss.
+
+    The gradient comparison pins the subtlety that the reference masks
+    reward_preds BEFORE autograd.grad, so the penalty sees (0-1)^2
+    contributions outside the FOV (loss_utils.py:1193-1216).
+
+    Each walk opens with a calibration segment of length 31.5 reward-grid
+    cells so the reference's data-dependent ``max_steps = ceil(max dist)``
+    equals our static 32: both sides then interpolate the identical
+    ``linspace(0, 1, 32)`` points on every segment and the rasterized grids
+    match bit-exactly (out-of-range coords clamp identically on both
+    sides)."""
+    rac, _ = exec_def("creste/utils/train_utils.py", "resize_and_crop")
+    cev, _ = exec_def(
+        "creste/utils/loss_utils.py", "MaxEntIRLLoss.compute_expert_visitation"
+    )
+    ns = base_ns(
+        DEBUG_MAXENT_LOSS=False,
+        tu=types.SimpleNamespace(resize_and_crop=rac),
+    )
+    loss_fn, _ = exec_def("creste/utils/loss_utils.py", "MaxEntIRLLoss.loss", ns)
+
+    B, H, W, C, T = 2, 16, 24, 5, 12
+    ds = 2.0
+    rng = np.random.default_rng(11)
+
+    def walk(t_steps):
+        start = rng.uniform([2 * ds, 2 * ds], [(H - 2) * ds, (W - 2) * ds])
+        steps = rng.uniform(-0.9, 0.9, (t_steps - 1, 2)) * ds
+        # calibration segment: dist / ds == 31.5 -> ceil == 32 == our static
+        # max_steps, making reference and jax interpolation grids identical
+        steps[0] = (31.5 / np.sqrt(2.0)) * ds
+        return np.cumsum(np.vstack([start[None], steps]), 0).astype(np.float32)
+
+    xy = np.stack([walk(T) for _ in range(B)])  # [B, T, 2] full-res BEV
+    gt = np.tile(np.eye(3, dtype=np.float32), (B, T, 1, 1))
+    gt[:, :, 0, 2] = xy[..., 0]
+    gt[:, :, 1, 2] = xy[..., 1]
+
+    exp_svf = rng.uniform(0, 1, (B, H, W)).astype(np.float32)
+    fov = (rng.uniform(0, 1, (B, 4 * H, 2 * W)) > 0.3)
+    w_r = rng.normal(0, 1, (C,)).astype(np.float32)
+    sf = rng.normal(0, 1, (B, C, H, W)).astype(np.float32)
+
+    # batch 0 carries counterfactuals (2 of 3 ranked worse), batch 1 none
+    cf0 = np.stack([walk(6) for _ in range(3)])  # [3, 6, 2]
+    cf_list = [{"trajectories": cf0, "rank": np.array([0, 1, 2])}, None]
+
+    self_ns = types.SimpleNamespace(
+        pred_key="p", lab_key="l", fov_key="f", cf_key="c",
+        map_ds=ds, map_sz=(H, W), maxent_weight=0.7, reward_weight=0.3,
+        alpha=0.4, use_fov_mask=True, compute_expert_visitation=cev,
+    )
+    sf_t = torch.tensor(sf, requires_grad=True)
+    reward_t = (sf_t * torch.tensor(w_r).view(1, C, 1, 1)).sum(1, keepdim=True)
+    td_ref = {
+        "p": torch.tensor(exp_svf), "l": torch.tensor(gt),
+        "f": torch.tensor(fov), "c": cf_list,
+        "outputs/traversability_preds": reward_t,
+        "outputs/input_view": sf_t,
+    }
+    ld_ref, meta_ref = loss_fn(self_ns, td_ref)
+    ref_total = ld_ref["maxentirl_loss"]
+    ref_total.backward()
+    ref_grad = t2n(sf_t.grad)
+
+    cfg = {"name": "MaxEntIRLLoss", "weight": 1.0, "map_ds": ds,
+           "map_sz": [H, W], "maxent_weight": 0.7, "reward_weight": 0.3,
+           "alpha": 0.4, "use_fov_mask": True,
+           "pred_key": "p", "lab_key": "l", "fov_key": "f", "cf_key": "c"}
+    ours = lm.MaxEntIRLLoss(cfg)
+    w_j = jnp.asarray(w_r)
+    reward_fn = lambda iv: jnp.sum(iv * w_j, axis=-1, keepdims=True)  # noqa: E731
+    cf_pad = {
+        "trajectories": jnp.asarray(
+            np.stack([cf0, np.zeros_like(cf0)])),  # [B, 3, 6, 2]
+        "rank": jnp.asarray(np.array([[0, 1, 2], [0, 0, 0]], np.int32)),
+        "valid": jnp.asarray(
+            np.array([[True, True, True], [False, False, False]])),
+    }
+
+    def total_j(iv):
+        td = {
+            "p": jnp.asarray(exp_svf), "l": jnp.asarray(gt),
+            "f": jnp.asarray(fov), "c": cf_pad,
+            "outputs/traversability_preds": reward_fn(iv),
+            "outputs/input_view": iv,
+        }
+        ld, meta = ours(td, {"reward_fn": reward_fn})
+        w, v = ld["maxentirl_loss"]
+        return w * v, meta
+
+    iv_j = jnp.asarray(sf.transpose(0, 2, 3, 1))
+    (total, meta_j), grad_j = jax.value_and_grad(total_j, has_aux=True)(iv_j)
+
+    np.testing.assert_allclose(float(total), float(t2n(ref_total)),
+                               rtol=1e-5, atol=1e-6)
+    for k in ("reward_penalty", "mean_expected_svf_rewards",
+              "mean_svf_rewards", "sum_cf_rewards", "sum_opt_rewards"):
+        np.testing.assert_allclose(
+            float(meta_j[k]), float(t2n(meta_ref[k])),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(grad_j).transpose(0, 3, 1, 2), ref_grad,
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+# ---------------------------------------------------------------------------
+# MergeUnit + stacked ConvGRU end-to-end across chunks (rnn.py:8-146 +
+# convgru.py:13-365) — pre-RNN ConvLayer, channel groups folded to batch,
+# 2-layer recurrence, bos reset, detached cross-chunk hidden carry
+# ---------------------------------------------------------------------------
+
+
+class _CudaFreeTorch:
+    """torch proxy whose .cuda.FloatTensor is the CPU FloatTensor (the
+    reference hardcodes dtype=torch.cuda.FloatTensor in rnn.py:48)."""
+
+    cuda = types.SimpleNamespace(FloatTensor=torch.FloatTensor)
+
+    def __getattr__(self, item):
+        return getattr(torch, item)
+
+
+def test_reference_merge_unit_e2e():
+    from torch.autograd import Variable
+
+    gru_ns = base_ns(Variable=Variable)
+    for name in ("ConvGRUCell", "ConvGRUCellSimple", "ConvGRU"):
+        exec_def("creste/models/blocks/convgru.py", name, gru_ns)
+    conv_layer, _ = exec_def("creste/models/blocks/conv.py", "ConvLayer")
+    mu_ns = base_ns(
+        torch=_CudaFreeTorch(),
+        convgru=types.SimpleNamespace(ConvGRU=gru_ns["ConvGRU"]),
+        conv=types.SimpleNamespace(ConvLayer=conv_layer),
+    )
+    merge_cls, _ = exec_def("creste/models/blocks/rnn.py", "MergeUnit", mu_ns)
+
+    B, T, H, W, Cin = 2, 3, 6, 6, 12
+    rnn_in, groups = 8, 2
+    hidden_dims = [8, 8]
+    rnn_cfg = {
+        "hidden_dims": hidden_dims, "input_size": (H, W),
+        "kernel_size": (3, 3), "groups": groups, "cell_type": "GRU",
+    }
+    ref = merge_cls(Cin, rnn_input_channels=rnn_in, rnn_config=rnn_cfg)
+    ref.eval()
+
+    rng = np.random.default_rng(7)
+
+    def rnd(*shape):
+        return rng.normal(0, 0.5, shape).astype(np.float32)
+
+    # one parameter set, written into BOTH models
+    w_pre = rnd(rnn_in, Cin, 1, 1)
+    bn_scale, bn_bias = rnd(rnn_in), rnd(rnn_in)
+    bn_mean, bn_var = rnd(rnn_in) * 0.3, rng.uniform(
+        0.5, 1.5, rnn_in).astype(np.float32)
+    cells = []
+    cin_g = rnn_in // groups
+    for hd in (h // groups for h in hidden_dims):
+        cells.append({
+            "gates_w": rnd(2 * hd, cin_g + hd, 3, 3), "gates_b": rnd(2 * hd),
+            "can_w": rnd(hd, cin_g + hd, 3, 3), "can_b": rnd(hd),
+        })
+        cin_g = hd
+
+    with torch.no_grad():
+        ref.pre_rnn_conv.conv.weight.copy_(torch.tensor(w_pre))
+        ref.pre_rnn_conv.norm.weight.copy_(torch.tensor(bn_scale))
+        ref.pre_rnn_conv.norm.bias.copy_(torch.tensor(bn_bias))
+        ref.pre_rnn_conv.norm.running_mean.copy_(torch.tensor(bn_mean))
+        ref.pre_rnn_conv.norm.running_var.copy_(torch.tensor(bn_var))
+        for cell, cw in zip(ref.rnn.cell_list, cells):
+            cell.conv_gates.weight.copy_(torch.tensor(cw["gates_w"]))
+            cell.conv_gates.bias.copy_(torch.tensor(cw["gates_b"]))
+            cell.conv_can.weight.copy_(torch.tensor(cw["can_w"]))
+            cell.conv_can.bias.copy_(torch.tensor(cw["can_b"]))
+
+    from creste_public_tpu.models.blocks.convgru import MergeUnit
+
+    variables = {
+        "params": {
+            "pre_rnn_conv": {"kernel": w_pre.transpose(2, 3, 1, 0)},
+            "pre_rnn_bn": {"scale": bn_scale, "bias": bn_bias},
+            "rnn": {
+                f"cell_{i}": {
+                    "conv_gates": {
+                        "kernel": cw["gates_w"].transpose(2, 3, 1, 0),
+                        "bias": cw["gates_b"],
+                    },
+                    "conv_can": {
+                        "kernel": cw["can_w"].transpose(2, 3, 1, 0),
+                        "bias": cw["can_b"],
+                    },
+                }
+                for i, cw in enumerate(cells)
+            },
+        },
+        "batch_stats": {"pre_rnn_bn": {"mean": bn_mean, "var": bn_var}},
+    }
+    ours = MergeUnit({"rnn_input_channels": rnn_in, "rnn_config": rnn_cfg})
+
+    x1 = rnd(B * T, Cin, H, W)
+    x2 = rnd(B * T, Cin, H, W)
+    bos1 = torch.tensor([True] + [False] * (T - 1)).repeat(B)
+    bos2 = torch.zeros(B * T, dtype=torch.bool)
+
+    with torch.no_grad():
+        out1_ref = ref(torch.tensor(x1), t=T, bos=bos1)
+        out2_ref = ref(torch.tensor(x2), t=T, bos=bos2)
+
+    out1_j, hid = ours.apply(
+        variables, jnp.asarray(x1.transpose(0, 2, 3, 1)), t=T, bos=True
+    )
+    out2_j, _ = ours.apply(
+        variables, jnp.asarray(x2.transpose(0, 2, 3, 1)), t=T,
+        hidden=hid, bos=False,
+    )
+
+    # carried hidden between chunks matches the reference's detached state
+    for h_j, h_ref in zip(hid, ref.hidden_state):
+        assert np.asarray(h_j).shape[0] == B * groups
+    np.testing.assert_allclose(
+        np.asarray(out1_j).transpose(0, 3, 1, 2), t2n(out1_ref), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2_j).transpose(0, 3, 1, 2), t2n(out2_ref), atol=2e-5
+    )

@@ -585,3 +585,104 @@ def test_reference_get_overlapping_views():
         if min(abs(r - 0.1), abs(r - 0.8)) < 0.04
     }
     assert ref_ids - near == ours_ids - near
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: data-path helpers (resize_and_crop, resampling, pose chains,
+# horizon thinning)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shapes", [
+    ((2, 1, 512, 612), (256, 306), (0, 64, 0, 128)),   # the IRL fov path
+    ((1, 3, 10, 12), (7, 5), (1, 6, 0, 4)),            # non-integer scales
+    ((2, 2, 8, 8), (16, 12), (2, 14, 0, 12)),          # upscale
+])
+def test_reference_resize_and_crop(shapes):
+    """tu.resize_and_crop (train_utils.py:670-682): F.interpolate nearest
+    (source index floor(dst*in/out) — NOT jax.image.resize's half-pixel
+    nearest) + crop. This operator feeds the MaxEntIRLLoss fov mask
+    (loss_utils.py:1134-1136) with use_fov_mask=True in the shipped
+    traversability configs."""
+    from creste_public_tpu.utils.imageops import resize_and_crop
+
+    in_shape, new_size, crop = shapes
+    fn, _ = exec_def("creste/utils/train_utils.py", "resize_and_crop")
+    torch.manual_seed(2)
+    x = torch.rand(*in_shape)
+    ref = fn(x, new_size, crop)
+
+    ours = resize_and_crop(
+        jnp.asarray(x.numpy()), new_size, crop, spatial_axes=(2, 3)
+    )
+    np.testing.assert_array_equal(np.asarray(ours), ref.numpy())
+
+
+def test_reference_balanced_infos_resampling():
+    """balanced_infos_resampling (train_utils.py:836-905): originals always
+    kept per bin, under-represented bins oversampled; exact RNG parity by
+    seeding the global np.random state both sides (index-based choice draws
+    the same sequence as the reference's value-based choice)."""
+    from creste_public_tpu.data.coda_dataset import balanced_infos_resampling
+
+    fn, _ = exec_def("creste/utils/train_utils.py", "balanced_infos_resampling")
+    rng = np.random.default_rng(3)
+    n = 120
+    seqs = rng.integers(0, 3, n)
+    frames = np.arange(n)
+    infos = np.array([f"{s} {f}" for s, f in zip(seqs, frames)], dtype=str)
+    # skewed distances so several bins need oversampling
+    distances = np.concatenate([
+        rng.uniform(0.0, 1.0, 90), rng.uniform(1.0, 8.0, 30)
+    ])
+
+    np.random.seed(123)
+    ref_infos, ref_dists = fn(infos, distances, num_bins=20)
+
+    samples = [(str(s), int(f)) for s, f in zip(seqs, frames)]
+    np.random.seed(123)
+    ours_s, ours_d = balanced_infos_resampling(
+        samples, distances, num_bins=20, rng=np.random
+    )
+
+    assert [f"{s} {f}" for s, f in ours_s] == ref_infos.tolist()
+    np.testing.assert_allclose(ours_d, ref_dists)
+    # originals all preserved
+    assert set(map(tuple, samples)) <= set(map(tuple, ours_s))
+    assert len(ours_s) >= n
+
+
+def test_reference_transform_poses():
+    """transform_poses (geometry.py:110-127) vs relative_poses."""
+    from creste_public_tpu.utils import geometry as geo
+
+    fn, _ = exec_def("creste/utils/geometry.py", "transform_poses")
+    rng = np.random.default_rng(4)
+    poses = np.tile(np.eye(4), (6, 1, 1))
+    for i in range(6):
+        th = rng.uniform(-np.pi, np.pi)
+        poses[i, :2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+        poses[i, :3, 3] = rng.uniform(-10, 10, 3)
+    ref = fn(list(poses), ref_idx=2)
+    ours = geo.relative_poses(poses, ref_idx=2)
+    np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_reference_drop_overlapping_horizons():
+    """drop_overlapping_horizons (utils.py:125-160): int-lexsorted greedy
+    horizon thinning, kept rows returned in sorted order."""
+    from creste_public_tpu.preprocessing.splits import (
+        drop_overlapping_horizons,
+    )
+
+    fn, _ = exec_def("creste/utils/utils.py", "drop_overlapping_horizons")
+    rng = np.random.default_rng(5)
+    rows = []
+    for seq in (0, 2, 10, 1):  # int vs str sort order differs on '10'
+        frames = np.cumsum(rng.integers(1, 40, 25))
+        rows += [(seq, int(f)) for f in frames]
+    finfos = np.array([f"{s} {f}" for s, f in rows], dtype=str)
+
+    ref = fn(finfos, 50)
+    ours = drop_overlapping_horizons(rows, 50)
+    assert [f"{s} {f}" for s, f in ours] == ref.tolist()
