@@ -247,6 +247,22 @@ class CodaDataset:
             )
         return np.load(path)
 
+    def _load_elevation(self, seq: str, frame: int) -> np.ndarray:
+        """Reference on-disk contract first: raw f32 [grid, grid, 2] `.bin`
+        (_load_elevation, codapefree_dataloader.py:617-625; build_feature_map
+        save_elevation_to_file writes the flipped (min, max) channel stack);
+        falls back to the repo's legacy gap-scan `.npy`."""
+        path = os.path.join(
+            self.root, cc.ELEVATION_LABEL_DIR, str(seq), f"{frame}.bin"
+        )
+        if os.path.exists(path):
+            raw = np.fromfile(path, np.float32)
+            return raw.reshape(self.grid, self.grid, 2)
+        elev = self._bev_npy(cc.ELEVATION_LABEL_DIR, seq, frame)
+        if elev.ndim == 3 and elev.shape[0] in (2, 3):
+            elev = np.moveaxis(elev, 0, -1)
+        return elev[..., :2].astype(np.float32)
+
     def _traversability(self, seq: str, frame: int) -> np.ndarray:
         """Pose chain -> SE(2) poses on the BEV grid
         (codapefree_dataloader.py:579-615)."""
@@ -459,13 +475,9 @@ class CodaDataset:
                      for c in range(dyn.shape[-1])], axis=-1,
                 ) if dyn.ndim == 3 else expand_filter_2d(dyn, k)
             sample["3d_sam_dynamic_label"] = dyn
-        elev = self._try(
-            lambda: self._bev_npy(cc.ELEVATION_LABEL_DIR, seq, frame)
-        )
+        elev = self._try(lambda: self._load_elevation(seq, frame))
         if elev is not None:
-            if elev.ndim == 3 and elev.shape[0] in (2, 3):
-                elev = np.moveaxis(elev, 0, -1)
-            sample["elevation_label"] = elev[..., :2].astype(np.float32)
+            sample["elevation_label"] = elev
         ssc = self._try(lambda: self._load_count_bin(
             cc.SSC_LABEL_DIR, seq, frame, remap="sem"))
         if ssc is not None:

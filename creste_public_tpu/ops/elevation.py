@@ -192,3 +192,150 @@ def elevation_maps_from_points(
         "lower": lower.reshape(H, W),
         "upper": upper.reshape(H, W),
     }
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact elevation labels (the ones the shipped dataset carries):
+# Map2D robust-min fill + 3x3 kernel smoothing + count masks
+# ---------------------------------------------------------------------------
+
+
+def _reduce_window(x: Array, op: str, k: tuple[int, int],
+                   stride: int) -> Array:
+    init = {"sum": 0.0, "min": jnp.inf, "max": -jnp.inf}[op]
+    fn = {"sum": jax.lax.add, "min": jax.lax.min, "max": jax.lax.max}[op]
+    return jax.lax.reduce_window(
+        x, jnp.float32(init), fn,
+        window_dimensions=(k[0], k[1]),
+        window_strides=(stride, stride),
+        padding=((stride, stride), (stride, stride)),
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "grid_dims", "nlowest", "kernel", "stride", "post_min_count"))
+def reference_elevation_maps(
+    points: Array,
+    labels: Array,
+    grid_dims: tuple[int, int],
+    grid_width: float,
+    grid_height: float,
+    ignore_classes: tuple[int, ...] = (0,),
+    nlowest: int | None = None,
+    kernel: tuple[int, int] = (3, 3),
+    stride: int = 1,
+    post_min_count: int = 3,
+) -> tuple[Array, Array]:
+    """The reference's SHIPPED elevation-label pipeline — build_feature_map
+    get_elevation_from_pose (scripts/preprocessing/build_feature_map.py:
+    347-454) driving elevation_utils BinningPostprocess/Map2D (creste/utils/
+    elevation_utils.py:44-303). All quirks carried, pinned by the exec
+    golden:
+
+      * input (x, y) axes swapped before binning (build_feature_map.py:398);
+      * cell index by TRUNCATION of ``(x/width + 0.5) * res`` (torch
+        ``.to(int64)``, elevation_utils.py:187-191) — points just left of
+        the map edge truncate INTO cell 0 and count as in range;
+      * per-cell ground value: with ``nlowest=None`` (the SHIPPED default
+        — the reference's MAP_CONFIG dict literal implicitly concatenates
+        its triple-quoted CODA/CRESTE banner strings into the
+        'nlowest_points' key, so the real pipeline never sees that key) a
+        plain per-cell min with no pre-count filter; with an int
+        ``nlowest`` the intended robust path: lower median of the
+        ``nlowest`` smallest z, cells with fewer points invalidated
+        (fill, :131-185);
+      * a ``kernel`` (3x3, stride 1, zero-pad=stride) neighborhood min /
+        max / variance over that per-cell value with a valid-neighbor mask
+        (apply_kernel, :88-127) — i.e. the "max elevation" channel is the
+        neighborhood max of cell-MIN-z, not the per-cell max;
+      * cells whose raw point count < ``post_min_count`` zeroed
+        (BinningPostprocess.build_map, :257-271);
+      * invalid cells -> +inf in min/max, 0 in variance; channels stacked
+        (min, max) and both maps flipped on both axes
+        (build_feature_map.py:430-446).
+
+    Args:
+      points: [N, 3] in the semantic-map frame (pre-swap).
+      labels: [N] int point classes; ``ignore_classes`` are dropped.
+      grid_dims: (resx, resy).
+
+    Returns:
+      elevation [resy, resx, 2] float32 (min, max; +inf where unknown) and
+      variance [resy, resx] float32.
+    """
+    resx, resy = grid_dims
+    n_cells = resx * resy
+    N = points.shape[0]
+
+    keep = jnp.ones((N,), bool)
+    for c in ignore_classes:
+        keep &= labels != c
+
+    # axis swap, then Map2D.locs truncation
+    x, y, z = points[:, 1], points[:, 0], points[:, 2]
+    fx = (x / grid_width + 0.5) * resx
+    fy = (y / grid_height + 0.5) * resy
+    projx = jnp.trunc(fx).astype(jnp.int32)
+    projy = jnp.trunc(fy).astype(jnp.int32)
+    inrange = (
+        (projx >= 0) & (projx < resx) & (projy >= 0) & (projy < resy)
+    )
+    valid = keep & inrange
+    cell = jnp.clip(projx + projy * resx, 0, n_cells - 1)
+
+    counts = jnp.zeros((n_cells,), jnp.int32).at[
+        jnp.where(valid, cell, 0)
+    ].add(valid.astype(jnp.int32), mode="drop")
+    min_ppc = max(nlowest, 1) if nlowest else 1
+    good = counts >= min_ppc
+    valid &= good[cell]
+    counts_post = jnp.where(good, counts, 0)
+
+    # robust min: lower median of the nlowest smallest z per cell ==
+    # the ((nlowest-1)//2)-th value of the per-cell ascending sort
+    # (nlowest=None -> rank 0 = plain min)
+    rank_want = ((nlowest - 1) // 2) if nlowest else 0
+    cellv = jnp.where(valid, cell, n_cells)
+    order = jnp.lexsort((z, cellv))
+    sc = cellv[order]
+    sz = z[order]
+    pos = jnp.arange(N)
+    seg_first = jnp.concatenate([jnp.ones((1,), bool), sc[1:] != sc[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(seg_first, pos, 0)
+    )
+    rank = pos - seg_start
+    pick = (rank == rank_want) & (sc < n_cells)
+    map_val = jnp.full((n_cells,), -jnp.inf).at[jnp.where(pick, sc, 0)].max(
+        jnp.where(pick, sz, -jnp.inf), mode="drop"
+    )
+    # every good cell has >= nlowest points, so a pick exists there
+    map_val = jnp.where(good, map_val, 0.0)
+    mask = good.astype(jnp.float32)
+
+    val2 = (map_val * mask).reshape(resy, resx)
+    m2 = mask.reshape(resy, resx)
+
+    cnt_w = _reduce_window(m2, "sum", kernel, stride)
+    any_w = cnt_w > 0
+    minv = _reduce_window(jnp.where(m2 == 1, val2, jnp.inf), "min",
+                          kernel, stride)
+    maxv = _reduce_window(jnp.where(m2 == 1, val2, -jnp.inf), "max",
+                          kernel, stride)
+    s1 = _reduce_window(val2 * m2, "sum", kernel, stride)
+    s2 = _reduce_window(val2 * val2 * m2, "sum", kernel, stride)
+    mean = s1 / (cnt_w + 1e-6)
+    var = (s2 - 2.0 * mean * s1 + mean * mean * cnt_w) / (cnt_w + 1e-6)
+    minv = jnp.where(any_w, minv, 0.0)
+    maxv = jnp.where(any_w, maxv, 0.0)
+    var = jnp.where(any_w, var, 0.0)
+
+    low = (counts_post < post_min_count).reshape(resy, resx)
+    ok = any_w & ~low
+    inf = jnp.float32(jnp.inf)
+    minv = jnp.where(ok, minv, inf)
+    maxv = jnp.where(ok, maxv, inf)
+    var = jnp.where(ok, var, 0.0)
+
+    elev = jnp.stack([minv, maxv], axis=-1)[::-1, ::-1]
+    return elev, var[::-1, ::-1]

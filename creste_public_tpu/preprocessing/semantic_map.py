@@ -291,6 +291,95 @@ def build_count_bins(
     return written
 
 
+def build_elevation_bins(
+    root: str,
+    seq: str,
+    label_dir: str,
+    out_dir: str,
+    var_dir: str,
+    grid: int = 256,
+    map_range: float = 12.8,
+    window: int = 50,
+    chunk: int = 200,
+    label_source: str = "points",
+    frames: list[int] | None = None,
+    workers: int = 1,
+) -> int:
+    """Reference-SHIPPED elevation labels: process_single_frame's
+    ELEVATION branch (build_feature_map.py:770-780) — the window-accumulated
+    labelled map cropped at each pose (get_pointcloud_from_pose) and run
+    through the Map2D robust-min + 3x3-kernel pipeline
+    (ops/elevation.reference_elevation_maps, every shipped quirk carried and
+    pinned by the exec golden). Writes float32 [grid, grid, 2] elevation and
+    [grid, grid] variance `.bin` files in the reference's on-disk format
+    (_load_elevation, codapefree_dataloader.py:617-625).
+
+    Returns the number of scenes written.
+    """
+    import jax.numpy as jnp
+
+    from creste_public_tpu.data.calib import load_calibration, load_poses
+    from creste_public_tpu.ops.elevation import reference_elevation_maps
+    from creste_public_tpu.preprocessing.depth import load_scan
+
+    poses = load_poses(root, seq)
+    frames = list(range(len(poses))) if frames is None else list(frames)
+    voxel = 2.0 * map_range / grid
+    os.makedirs(os.path.join(out_dir, str(seq)), exist_ok=True)
+    os.makedirs(os.path.join(var_dir, str(seq)), exist_ok=True)
+
+    lidar2camrect = None
+    if label_source == "image":
+        calib = load_calibration(root, seq)
+        lidar2camrect = calib.lidar2camrect
+
+    def load_labels(frame: int, points: np.ndarray) -> np.ndarray:
+        base = os.path.join(root, label_dir, str(seq), str(frame))
+        if label_source == "points":
+            return np.fromfile(base + ".bin", np.uint32).astype(np.int64)
+        img = np.load(base + ".npy")
+        labels, _ = labels_from_image(points, img, lidar2camrect)
+        return labels[:, 0].astype(np.int64)
+
+    written = 0
+    for c0 in range(frames[0], frames[-1] + 1, chunk):
+        c1 = min(c0 + chunk, frames[-1] + 1)
+        todo = [f for f in frames if c0 <= f < c1 and not os.path.exists(
+            os.path.join(out_dir, str(seq), f"{f}.bin"))]
+        if not todo:
+            continue
+        smap = SemanticPointMap(
+            (grid, grid), (voxel, voxel),
+            (-map_range, -map_range, map_range, map_range),
+        )
+        for f in range(max(0, c0 - window), c1):
+            pts = load_scan(root, seq, f)[:, :3]
+            smap.add_frame(pts, load_labels(f, pts), poses[f])
+
+        def save_one(f: int) -> None:
+            local, labels = smap.crop_at_pose(poses[f])
+            # pad to a power of two so the jitted kernel compiles once per
+            # bucket; pad labels are class 0 == ignored
+            n = max(1, len(local))
+            m = 1 << (n - 1).bit_length()
+            pts_p = np.zeros((m, 3), np.float32)
+            pts_p[: len(local)] = local
+            lab_p = np.zeros((m,), np.int64)
+            lab_p[: len(local)] = labels[:, 0]
+            elev, var = reference_elevation_maps(
+                jnp.asarray(pts_p), jnp.asarray(lab_p), (grid, grid),
+                2.0 * map_range, 2.0 * map_range,
+            )
+            np.asarray(elev, np.float32).tofile(
+                os.path.join(out_dir, str(seq), f"{f}.bin"))
+            np.asarray(var, np.float32).tofile(
+                os.path.join(var_dir, str(seq), f"{f}.bin"))
+
+        parallel_map(save_one, todo, workers)
+        written += len(todo)
+    return written
+
+
 def build_descriptor_bins(
     root: str,
     seq: str,

@@ -19,16 +19,43 @@ import optax
 
 PathPred = Callable[[str], bool]
 
+
+class ParamsPredFactory:
+    """A frozen-predicate that needs the param tree to resolve — call it
+    with ``params`` to obtain the actual PathPred (``freeze_mask`` does)."""
+
+    def __init__(self, fn: Callable[[Any], PathPred]):
+        self._fn = fn
+
+    def __call__(self, params: Any) -> PathPred:
+        return self._fn(params)
+
+
+def _ft_semantic_head_frozen(params: Any) -> PathPred:
+    """terrainnet.py:154-170: everything freezes except params named
+    ``bev_semantic_head`` and ALL params of decoder heads whose 1x1 ``proj``
+    has out_channels == 1 — the selection is by output width, not by head
+    position (with the shipped 32/6/2-channel heads nothing extra unfreezes;
+    pinned by the load_weights exec golden)."""
+    one_ch = set()
+    for name, sub in (params or {}).get("bevclassifier", {}).items():
+        kern = sub.get("proj", {}).get("kernel") if isinstance(sub, dict) else None
+        if name.startswith("head_") and kern is not None and kern.shape[-1] == 1:
+            one_ch.add(name)
+    return lambda p: not (
+        "bev_semantic_head" in p
+        or any(f"bevclassifier/{h}/" in p for h in one_ch)
+    )
+
+
 # Freeze-policy predicates keyed by the reference's load_setting names.
-# Paths are '/'-joined flax param paths.
-LOAD_SETTING_FROZEN: dict[str, PathPred | None] = {
+# Paths are '/'-joined flax param paths. A ParamsPredFactory entry is
+# resolved against the param tree by ``freeze_mask``.
+LOAD_SETTING_FROZEN: dict[str, PathPred | ParamsPredFactory | None] = {
     "strict": None,
     "strict_freeze": lambda p: True,
     "strict_unfreezesplat": lambda p: "cam2map" not in p,
-    "ft_semantic_head": lambda p: not (
-        "bev_semantic_head" in p
-        or ("bevclassifier" in p and "head_2" in p)  # elevation decoder
-    ),
+    "ft_semantic_head": ParamsPredFactory(_ft_semantic_head_frozen),
     "ft_decoders_all": lambda p: not (
         "bevclassifier" in p and ("head_" in p)
     ),
@@ -57,6 +84,8 @@ def freeze_mask(params: Any, frozen_pred: PathPred | None) -> Any:
     """Pytree of bools: True where the parameter is trainable."""
     if frozen_pred is None:
         return jax.tree_util.tree_map(lambda _: True, params)
+    if isinstance(frozen_pred, ParamsPredFactory):
+        frozen_pred = frozen_pred(params)
     paths = path_strings(params)
     return jax.tree_util.tree_map(lambda p: not frozen_pred(p), paths)
 

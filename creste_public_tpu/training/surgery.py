@@ -19,6 +19,7 @@ import dataclasses
 import os
 from typing import Any, Callable
 
+import jax
 import orbax.checkpoint as ocp
 
 
@@ -53,6 +54,30 @@ STAGE_SUBMODULE = {
 }
 
 
+# Subtrees the reference deliberately does NOT restore under a given
+# load_setting — the decoder heads fine-tune from their fresh init
+# (terrainnet.py:184-189 ft_decoders_all drops 'bevclassifier.out_heads',
+# :213-218 ft_decoders_partial drops only their up2/proj tails). Keyed by
+# '/'-joined path predicate; pinned by the load_weights exec golden.
+LOAD_SETTING_SKIP_RESTORE: dict[str, Callable[[str], bool]] = {
+    "ft_decoders_all": lambda p: "bevclassifier" in p and "head_" in p,
+    "ft_decoders_partial": lambda p: (
+        "bevclassifier" in p and "head_" in p
+        and ("up2" in p or "proj" in p)
+    ),
+}
+
+
+def _keep_init_where(loaded: Any, init: Any, pred: Callable[[str], bool]):
+    """Tree of ``loaded`` with ``init`` values where ``pred(path)``."""
+    from creste_public_tpu.training.optim import path_strings
+
+    return jax.tree_util.tree_map(
+        lambda lv, iv, p: iv if pred(p) else lv,
+        loaded, init, path_strings(loaded),
+    )
+
+
 def make_stage_loader(
     stage: str, weights_path: str, load_setting: str = "strict"
 ) -> Callable[[Any], Any]:
@@ -62,7 +87,9 @@ def make_stage_loader(
     * stage='ssc': stage-1 DistillationBackbone ckpt -> `depthcomp` subtree.
     * stage='traversability': stage-2 TerrainNet ckpt -> `backbone` subtree.
     If the restored tree already contains the submodule key (i.e. it is a
-    same-stage checkpoint), it is restored wholesale instead.
+    same-stage checkpoint), it is restored wholesale instead — except the
+    subtrees a ft_decoders_* load_setting re-initialises (see
+    LOAD_SETTING_SKIP_RESTORE).
     """
 
     def load(state):
@@ -78,6 +105,13 @@ def make_stage_loader(
             # same-stage resume / full restore
             new_params = params
             new_stats = stats or state.batch_stats
+            skip = LOAD_SETTING_SKIP_RESTORE.get(load_setting)
+            if skip is not None:
+                new_params = _keep_init_where(new_params, state.params, skip)
+                if stats:
+                    new_stats = _keep_init_where(
+                        new_stats, state.batch_stats, skip
+                    )
         else:
             new_params = _graft(state.params, sub, params)
             new_stats = (

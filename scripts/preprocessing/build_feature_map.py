@@ -23,6 +23,28 @@ import numpy as np
 
 
 def build_elevation(args, seq):
+    """Reference-shipped path (default): window-accumulated labelled map
+    -> Map2D robust-min + kernel maps, `.bin` f32 (process_single_frame
+    ELEVATION branch, reference build_feature_map.py:770-780). The
+    `gapscan` mode keeps the repo's jitted lower/upper gap-scan kernel
+    (the reference's compute_lower_and_upper_elevation, dead code in its
+    save path) writing `.npy`."""
+    if args.elevation_mode == "reference":
+        from creste_public_tpu.preprocessing.semantic_map import (
+            build_elevation_bins,
+        )
+
+        n = build_elevation_bins(
+            args.root, seq, args.sem_label_dir,
+            out_dir=os.path.join(args.root, "elevation"),
+            var_dir=os.path.join(args.root, "variance"),
+            grid=args.grid, map_range=args.map_range, window=args.window,
+            label_source=args.label_source, workers=args.workers,
+        )
+        print(f"seq {seq}: {n} elevation labels at "
+              f"{os.path.join(args.root, 'elevation')}")
+        return
+
     import jax.numpy as jnp
 
     from creste_public_tpu.data.calib import load_poses
@@ -102,7 +124,11 @@ def main():
     ap.add_argument("--grid", type=int, default=256)
     ap.add_argument("--map_range", type=float, default=12.8)
     ap.add_argument("--scans", type=int, default=10,
-                    help="elevation accumulation horizon")
+                    help="elevation accumulation horizon (gapscan mode)")
+    ap.add_argument("--elevation_mode", default="reference",
+                    choices=["reference", "gapscan"],
+                    help="reference: shipped Map2D pipeline -> .bin; "
+                         "gapscan: lower/upper gap-scan kernel -> .npy")
     ap.add_argument("--window", type=int, default=50,
                     help="semantic-map lookback (reference WINDOW_SIZE)")
     ap.add_argument("--sem_label_dir", default="3d_semantic")

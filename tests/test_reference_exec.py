@@ -1352,3 +1352,153 @@ def test_reference_merge_unit_e2e():
     np.testing.assert_allclose(
         np.asarray(out2_j).transpose(0, 3, 1, 2), t2n(out2_ref), atol=2e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# TerrainNet.load_weights checkpoint surgery (terrainnet.py:111-261): the
+# Lightning-prefix strip, stage-1 key rewrite, per-mode key dropping, and
+# the 6 freeze policies — vs surgery.STAGE_SUBMODULE graft semantics,
+# surgery.LOAD_SETTING_SKIP_RESTORE, and optim.LOAD_SETTING_FROZEN
+# ---------------------------------------------------------------------------
+
+_TN_PARAMS = [
+    "depthcomp.depthcomp.vision.conv.weight",
+    "depthcomp.depthcomp.depth_head.0.weight",
+    "depthcomp.dino_head.0.weight",
+    "cam2map.z_proj.0.weight",
+    "cam2map.vision_fusion.weight",
+    "merge.pre_rnn_conv.conv.weight",
+    "bevclassifier.conv1.weight",
+    "bevclassifier.out_heads.0.up1.conv.weight",
+    "bevclassifier.out_heads.0.up2.1.weight",
+    "bevclassifier.out_heads.0.proj.weight",
+    "bevclassifier.out_heads.1.up2.1.weight",
+    "bevclassifier.out_heads.1.proj.weight",
+    "bevclassifier.out_heads.2.up1.conv.weight",
+    "bevclassifier.out_heads.2.up2.1.weight",
+    "bevclassifier.out_heads.2.proj.weight",
+]
+
+
+def _tn_flax_path(ref_name: str) -> str:
+    """Map a reference torch param name onto our flax path convention."""
+    p = ref_name
+    for i in range(3):
+        p = p.replace(f"bevclassifier.out_heads.{i}.", f"bevclassifier/head_{i}/")
+    return p.replace(".", "/").replace("weight", "kernel")
+
+
+class _TNParam:
+    def __init__(self):
+        self.requires_grad = True
+
+
+class _TNStub:
+    """TerrainNet stand-in exposing exactly what load_weights touches."""
+
+    def __init__(self, load_setting, head_channels,
+                 vision_class="DistillationBackbone"):
+        self._params = {n: _TNParam() for n in _TN_PARAMS}
+        self.vision_cfg = {"class_name": vision_class}
+        self.load_setting = load_setting
+        heads = []
+        for i, c in enumerate(head_channels):
+            sub = [n for n in _TN_PARAMS
+                   if n.startswith(f"bevclassifier.out_heads.{i}.")]
+            heads.append(types.SimpleNamespace(
+                proj=types.SimpleNamespace(out_channels=c),
+                named_parameters=(
+                    lambda s=sub: [(n, self._params[n]) for n in s]
+                ),
+            ))
+        self.bevclassifier = types.SimpleNamespace(out_heads=heads)
+        self.loaded = None
+        self.strict = None
+
+    def named_parameters(self):
+        return list(self._params.items())
+
+    def load_state_dict(self, sd, strict=False):
+        self.loaded = set(sd.keys())
+        self.strict = strict
+
+
+def _exec_load_weights(tmp_path, state_keys, load_setting, head_channels,
+                       vision_class="DistillationBackbone"):
+    fn, _ = exec_def(
+        "creste/models/terrainnet.py", "TerrainNet.load_weights",
+        DEBUG_TERRAINNET=False,
+    )
+    ckpt = tmp_path / f"ckpt_{load_setting}.pt"
+    torch.save({"state_dict": {k: torch.zeros(1) for k in state_keys}}, ckpt)
+    stub = _TNStub(load_setting, head_channels, vision_class)
+    fn(stub, str(ckpt))
+    return stub
+
+
+def test_reference_load_weights_stage1_rewrite(tmp_path):
+    """Stage-1 ckpts rewrite depthcomp./dino_head. under a second depthcomp.
+    prefix (terrainnet.py:125-141) — exactly prefixing the whole stage-1
+    tree with STAGE_SUBMODULE['ssc'], i.e. our subtree graft."""
+    from creste_public_tpu.training.surgery import STAGE_SUBMODULE
+
+    stage1 = [
+        "depthcomp.vision.conv.weight",
+        "depthcomp.depth_head.0.weight",
+        "dino_head.0.weight",
+    ]
+    keys = ["model." + k for k in stage1] + ["model.loss.0.logvar"]
+    stub = _exec_load_weights(tmp_path, keys, "strict", (32, 6, 2))
+    assert stub.strict is True
+    prefix = STAGE_SUBMODULE["ssc"]
+    assert stub.loaded == {f"{prefix}.{k}" for k in stage1}
+
+    # FoundationBackbone models skip the rewrite entirely (:140)
+    stub = _exec_load_weights(
+        tmp_path, keys, "strict", (32, 6, 2), vision_class="FoundationBackbone"
+    )
+    assert stub.loaded == set(stage1)
+
+
+@pytest.mark.parametrize("head_channels", [(32, 6, 2), (32, 6, 1)])
+@pytest.mark.parametrize("mode", [
+    "strict", "strict_freeze", "strict_unfreezesplat",
+    "ft_semantic_head", "ft_decoders_all", "ft_decoders_partial",
+])
+def test_reference_load_weights_modes(tmp_path, mode, head_channels):
+    """Execute each load_setting branch of the reference's own load_weights
+    on a stage-2-shaped ckpt; assert the loaded-key set matches our
+    restore/skip rules and the requires_grad partition matches our freeze
+    predicates — including ft_semantic_head's selection of decoder heads by
+    proj.out_channels==1 (NOT by position) and ft_decoders_* keeping fresh
+    init for the dropped subtrees."""
+    from creste_public_tpu.training.optim import (
+        LOAD_SETTING_FROZEN, ParamsPredFactory,
+    )
+    from creste_public_tpu.training.surgery import LOAD_SETTING_SKIP_RESTORE
+
+    keys = ["model." + n for n in _TN_PARAMS] + ["model.loss.0.logvar"]
+    stub = _exec_load_weights(tmp_path, keys, mode, head_channels)
+
+    strict_modes = {"strict", "strict_freeze"}
+    assert stub.strict is (mode in strict_modes)
+
+    # per-key restore decision
+    skip = LOAD_SETTING_SKIP_RESTORE.get(mode, lambda p: False)
+    for n in _TN_PARAMS:
+        assert (n in stub.loaded) == (not skip(_tn_flax_path(n))), n
+    # loss keys are dropped only by the strict* branches
+    drops_loss = mode in {"strict", "strict_freeze", "strict_unfreezesplat"}
+    assert ("loss.0.logvar" in stub.loaded) == (not drops_loss)
+
+    # requires_grad partition vs our freeze predicate
+    pred = LOAD_SETTING_FROZEN[mode]
+    if isinstance(pred, ParamsPredFactory):
+        params = {"bevclassifier": {
+            f"head_{i}": {"proj": {"kernel": np.zeros((1, 1, 128, c))}}
+            for i, c in enumerate(head_channels)
+        }}
+        pred = pred(params)
+    for n, p in stub.named_parameters():
+        ours_trainable = pred is None or not pred(_tn_flax_path(n))
+        assert p.requires_grad == ours_trainable, (mode, n)

@@ -8,6 +8,7 @@ IDW infill, the LiDAR->camera z-buffer projection, and the channel remap.
 from __future__ import annotations
 
 from pathlib import Path
+import types
 
 import jax.numpy as jnp
 import numpy as np
@@ -686,3 +687,127 @@ def test_reference_drop_overlapping_horizons():
     ref = fn(finfos, 50)
     ours = drop_overlapping_horizons(rows, 50)
     assert [f"{s} {f}" for s, f in ours] == ref.tolist()
+
+
+# ---------------------------------------------------------------------------
+# FSC descriptor aggregation (aggregator_utils.py:7-33, used by
+# build_feature_map.py:339)
+# ---------------------------------------------------------------------------
+
+
+class _ScatterMaxMeanStub:
+    """torch_scatter.scatter stand-in for GMP/GAP: empty cells keep the
+    zero init (torch_scatter semantics for both reduces)."""
+
+    @staticmethod
+    def scatter(src, index, dim, dim_size, reduce):
+        assert dim == 0 and reduce in ("max", "mean")
+        out = src.new_zeros((dim_size,) + src.shape[1:])
+        idx = index.view(-1, 1).expand_as(src)
+        red = "amax" if reduce == "max" else "mean"
+        return out.scatter_reduce(0, idx, src, reduce=red, include_self=False)
+
+
+@pytest.mark.parametrize("aggregator", ["GMP", "GAP"])
+def test_reference_aggregate_descriptors(aggregator):
+    """aggregate_descriptors: per-voxel max/mean pooling of descriptors on
+    the (y*W + x) linearised grid; reference ids are (x, y) while our cells
+    are (row, col)."""
+    from creste_public_tpu.preprocessing import semantic_map as sm
+
+    fn, _ = exec_def(
+        "creste/utils/aggregator_utils.py", "aggregate_descriptors",
+        torch_scatter=_ScatterMaxMeanStub(),
+    )
+    rng = np.random.default_rng(9)
+    H, W, N, F = 7, 9, 120, 5
+    xy = np.stack([rng.integers(0, W, N), rng.integers(0, H, N)], 1)
+    desc = rng.normal(0, 1, (N, F)).astype(np.float32)
+
+    ref = fn(torch.tensor(xy), torch.tensor(desc), (H, W),
+             aggregator=aggregator)
+
+    ours = sm.aggregate_descriptors(
+        xy[:, ::-1], desc, (H, W), aggregator=aggregator
+    )
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# The SHIPPED elevation-label pipeline: get_elevation_from_pose
+# (build_feature_map.py:347-454) over Map2D/BinningPostprocess
+# (elevation_utils.py:44-303). NOTE the gap-scan kernel is dead code in the
+# reference's save path — process_single_frame saves THESE maps.
+# ---------------------------------------------------------------------------
+
+
+class _ScatterMinAddStub:
+    """torch_scatter stand-in for Map2D.fill: scatter_min returns
+    (values, argmin) with argmin == len(src) for empty cells (the
+    reference's empty sentinel); scatter_add is index_add."""
+
+    @staticmethod
+    def scatter_min(src, index, dim_size=None):
+        n = len(src)
+        if dim_size is None:
+            dim_size = int(index.max()) + 1
+        out = src.new_zeros(dim_size)
+        arg = torch.full((dim_size,), n, dtype=torch.long)
+        order = torch.argsort(src, stable=True, descending=True)
+        out[index[order]] = src[order]
+        arg[index[order]] = order
+        return out, arg
+
+    @staticmethod
+    def scatter_add(src, index, dim_size=None):
+        out = src.new_zeros(dim_size)
+        return out.index_add(0, index, src)
+
+
+def test_reference_elevation_binning_pipeline():
+    ns = base_ns(torch_scatter=_ScatterMinAddStub())
+    for name in ("_scatter_min", "crop_center", "Map2D",
+                 "BinningPostprocess"):
+        exec_def("creste/utils/elevation_utils.py", name, ns)
+    gep_ns = base_ns(
+        eu=types.SimpleNamespace(BinningPostprocess=ns["BinningPostprocess"]),
+        IGNORE_ELEVATION_CLASSES=[0],
+    )
+    gep, _ = exec_def(
+        "scripts/preprocessing/build_feature_map.py",
+        "get_elevation_from_pose", gep_ns,
+    )
+
+    resx, resy = 10, 12
+    width = height = 10.0
+    rng = np.random.default_rng(13)
+    N = 800
+    pts = rng.uniform(-6.0, 6.0, (N, 3)).astype(np.float32)
+    # edge quirk coverage: points just left/below the map edge truncate
+    # into cell 0 and count as in range
+    pts[:20, 0] = rng.uniform(-width / 2 - 0.4, -width / 2, 20)
+    pts[20:40, 1] = rng.uniform(-height / 2 - 0.4, -height / 2, 20)
+    labels = rng.integers(0, 4, N)  # class 0 = unlabeled, filtered
+
+    fullpc = np.concatenate([pts, labels[:, None].astype(np.float32)], 1)
+    sem_map = types.SimpleNamespace(
+        grid_width=width, grid_height=height, grid_dims=(resx, resy),
+        get_pointcloud_from_pose=lambda pose: torch.tensor(fullpc),
+    )
+    ref_elev, ref_var = gep(sem_map, None)
+
+    from creste_public_tpu.ops.elevation import reference_elevation_maps
+
+    # nlowest=None is the SHIPPED value: the reference's MAP_CONFIG dict
+    # literal implicitly concatenates its """CODA CONFIG"""/"""CRESTE
+    # CONFIG""" banner strings into the 'nlowest_points' key
+    # (build_feature_map.py:379-383), so the pipeline never sees it.
+    ours_elev, ours_var = reference_elevation_maps(
+        jnp.asarray(pts), jnp.asarray(labels), (resx, resy), width, height,
+        ignore_classes=(0,), nlowest=None, kernel=(3, 3), stride=1,
+        post_min_count=3,
+    )
+    np.testing.assert_allclose(np.asarray(ours_elev), ref_elev,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours_var), ref_var,
+                               rtol=1e-4, atol=1e-6)

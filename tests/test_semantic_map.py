@@ -276,6 +276,48 @@ def test_build_descriptor_bins_roundtrip(ssc_tree):
     assert np.abs(fsc).sum() > 0
 
 
+def test_build_elevation_bins_roundtrip(ssc_tree):
+    """Reference-shipped elevation labels: builder -> .bin f32 on-disk
+    contract -> CodaDataset._load_elevation (min <= max where known, +inf
+    where unknown, variance map alongside)."""
+    from creste_public_tpu.preprocessing.semantic_map import (
+        build_elevation_bins,
+    )
+
+    n = build_elevation_bins(
+        ssc_tree, "0", "3d_semantic",
+        out_dir=os.path.join(ssc_tree, cc.ELEVATION_LABEL_DIR),
+        var_dir=os.path.join(ssc_tree, "variance"),
+        grid=32, map_range=1.6, window=2, chunk=2,
+    )
+    assert n == 4
+    raw = np.fromfile(
+        os.path.join(ssc_tree, cc.ELEVATION_LABEL_DIR, "0", "1.bin"),
+        np.float32)
+    assert raw.size == 32 * 32 * 2
+    var = np.fromfile(os.path.join(ssc_tree, "variance", "0", "1.bin"),
+                      np.float32)
+    assert var.size == 32 * 32 and np.isfinite(var).all()
+
+    from creste_public_tpu.data.coda_dataset import CodaDataset
+
+    ds = CodaDataset({"root": ssc_tree, "views": 1, "ds": 4, "grid": 32,
+                      "map_range": 1.6, "horizon": 2})
+    elev = ds._load_elevation("0", 1)
+    assert elev.shape == (32, 32, 2) and elev.dtype == np.float32
+    known = np.isfinite(elev[..., 0])
+    assert known.any() and not known.all()
+    assert (elev[..., 0][known] <= elev[..., 1][known] + 1e-6).all()
+    assert np.isinf(elev[..., 0][~known]).all()
+
+    # idempotent re-run
+    assert build_elevation_bins(
+        ssc_tree, "0", "3d_semantic",
+        out_dir=os.path.join(ssc_tree, cc.ELEVATION_LABEL_DIR),
+        var_dir=os.path.join(ssc_tree, "variance"),
+        grid=32, map_range=1.6, window=2, chunk=2) == 0
+
+
 def test_point_cloud_fload_keys(ssc_tree):
     """point_cloud + immovable_label fload keys (codapefree_dataloader.py:
     766-786) with static padding for collation."""
