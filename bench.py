@@ -77,15 +77,24 @@ def main() -> None:
         )
 
         out_f32 = jax.jit(fn)(variables, rgbd, p2p)
+        # mixed-precision graph: bf16 activation stream + bf16 weights,
+        # f32 geometry islands (stem/BN/depth-head/splat accumulator)
+        fn16, _ = entry(compute_dtype="bfloat16")
         vb = cast_variables(variables)
         per_bf16, _ = serialized_latency(
-            fn, vb, rgbd, p2p, "traversability_preds"
+            fn16, vb, rgbd, p2p, "traversability_preds"
         )
-        out_bf16 = jax.jit(fn)(vb, rgbd, p2p)
+        out_bf16 = jax.jit(fn16)(vb, rgbd, p2p)
         dev = max_abs_deviation(out_f32["traversability_preds"],
                                 out_bf16["traversability_preds"])
         line["bf16_hz"] = round(1.0 / per_bf16, 2)
         line["bf16_reward_max_dev"] = round(dev, 6)
+        try:
+            cs16 = cost_stats(fn16, vb, rgbd, p2p)
+            line.update({f"bf16_{k}": v for k, v in mfu_fields(
+                cs16["flops"], cs16["bytes"], per_bf16).items()})
+        except Exception as e:
+            line["bf16_cost_analysis_error"] = str(e)[:120]
 
     print(json.dumps(line))
 

@@ -28,6 +28,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from creste_public_tpu.models.blocks.convnets import batch_norm
+
 Array = Any
 
 
@@ -142,9 +144,7 @@ class MergeUnit(nn.Module):
             # ConvLayer(kernel=1, bn=True) — bias-free conv (conv.py:63-72)
             x = nn.Conv(int(rnn_in), (1, 1), use_bias=False,
                         name="pre_rnn_conv")(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, name="pre_rnn_bn"
-            )(x)
+            x = batch_norm(train, name="pre_rnn_bn")(x)
             x = nn.relu(x)
 
         rnn_cfg = cfg.get("rnn_config", None)

@@ -22,13 +22,31 @@ Array = Any
 
 
 def batch_norm(train: bool, name: str | None = None, momentum: float = 0.9,
-               epsilon: float = 1e-5) -> nn.BatchNorm:
-    return nn.BatchNorm(
+               epsilon: float = 1e-5, scale_init=None):
+    """Dtype-preserving BatchNorm with float32 internal math.
+
+    Returns a callable: the wrapped nn.BatchNorm always normalises in
+    float32 (running means reach ~1e3 on the mm-depth stem channels, where
+    bfloat16 subtraction loses whole units) and the result is cast back to
+    the *input* dtype — so a bfloat16 activation stream stays bfloat16
+    across the norm instead of being promoted to float32 by the f32
+    statistics (the promotion that made the round-2 `compute_dtype` mode a
+    no-op for activation traffic). In float32 mode this wrapper changes
+    nothing. Param naming/paths are identical to bare nn.BatchNorm.
+    """
+    kwargs = {} if scale_init is None else {"scale_init": scale_init}
+    bn = nn.BatchNorm(
         use_running_average=not train,
         momentum=momentum,
         epsilon=epsilon,
         name=name,
+        **kwargs,
     )
+
+    def apply(x):
+        return bn(jnp.asarray(x, jnp.float32)).astype(x.dtype)
+
+    return apply
 
 
 class ConvLayer(nn.Module):

@@ -130,6 +130,9 @@ class EfficientNetB0Trunk(nn.Module):
     stage_repeats: int | None = None  # cap per-stage block repeats (None =
     # the full b0 depth; tests use 1 to cut compile time — endpoints and
     # channel pyramid are unchanged since stage output channels/strides stay)
+    compute_dtype: Any = None  # mixed-precision activation dtype; the cast
+    # happens AFTER the stem (the mm-scale depth input channel must be read
+    # in f32) and propagates through the trunk/decoder via flax promotion
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> dict[str, Array]:
@@ -140,6 +143,8 @@ class EfficientNetB0Trunk(nn.Module):
                     name="conv_stem")(x)
         x = batch_norm(train, name="bn0", momentum=0.99, epsilon=1e-3)(x)
         x = nn.silu(x)
+        if self.compute_dtype is not None:
+            x = x.astype(jnp.dtype(self.compute_dtype))
 
         # Expand stages into per-block params with the 224-chain nominal size.
         blocks = []
@@ -209,12 +214,14 @@ class EffNet(nn.Module):
     apply_final_batch_norm: bool = False
     remat: bool = False
     stage_repeats: int | None = None
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False):
         endpoints = EfficientNetB0Trunk(
             self.in_channels, tuple(self.image_size), remat=self.remat,
-            stage_repeats=self.stage_repeats, name="trunk",
+            stage_repeats=self.stage_repeats,
+            compute_dtype=self.compute_dtype, name="trunk",
         )(x, train)
         endpoints["reduction_0"] = x
 

@@ -34,10 +34,8 @@ class BasicBlock(nn.Module):
         out = nn.relu(out)
         out = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                       name="conv2")(out)
-        out = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            scale_init=nn.initializers.zeros, name="bn2",
-        )(out)
+        out = batch_norm(train, name="bn2",
+                         scale_init=nn.initializers.zeros)(out)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = nn.Conv(self.features, (1, 1), strides=(self.stride,) * 2,
                                use_bias=False, name="down_conv")(x)

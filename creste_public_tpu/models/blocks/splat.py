@@ -75,7 +75,9 @@ class Camera2MapMulti(nn.Module):
         if self.cfg.get("z_embed_mode", "mlp") != "mlp":
             raise ValueError(f"Unknown z_embed_mode: {self.cfg['z_embed_mode']}")
         zdim = int(self.cfg["z_embed_dim"])
-        z = xyz[..., 2:3]
+        # geometry is f32; the learned embedding joins the (possibly bf16)
+        # feature stream, so match dtypes before the concat would promote
+        z = xyz[..., 2:3].astype(feats.dtype)
         z_feats = MLP((zdim * 2, zdim), name="z_proj")(z)
         fused = jnp.concatenate([feats, z_feats], axis=-1)
         fused = ConvEncoder(self.cfg["vision_fusion"], name="vision_fusion")(

@@ -51,6 +51,11 @@ class VIN(nn.Module):
         input_view = nn.max_pool(input_view, (ds, ds), strides=(ds, ds))
         H = input_view.shape[1]
         input_view = input_view[:, : H // 2, :, :]
+        # f32 island: the reward net + value iteration operate on the small
+        # cropped 64x128 grid (negligible HBM traffic next to the image-space
+        # backbone), and the reward feeds the MDP solve — keep them exact
+        # even when the upstream BEV stream runs in bfloat16.
+        input_view = input_view.astype(jnp.float32)
         return jax.lax.stop_gradient(input_view)
 
     def __call__(

@@ -24,6 +24,7 @@ class VisionEncoder(nn.Module):
     """Encoder selector — reference vision_encoder.py:8-54."""
 
     cfg: Any
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -38,6 +39,7 @@ class VisionEncoder(nn.Module):
             downsample=int(eff["downsample"]),
             remat=bool(eff.get("remat", False)),
             stage_repeats=eff.get("stage_repeats", None),
+            compute_dtype=self.compute_dtype,
             name="effnet",
         )(x, train)
         return y
@@ -72,10 +74,17 @@ class DepthCompletion(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> dict[str, Array]:
         vision_cfg = self.cfg["vision_backbone"]
         disc = self.cfg["discretize"]
+        cd = self.cfg.get("compute_dtype", None)
 
-        feats = VisionEncoder(vision_cfg, name="vision_backbone")(x, train)
+        feats = VisionEncoder(
+            vision_cfg, compute_dtype=cd, name="vision_backbone"
+        )(x, train)
+        # The depth head feeds the softmax-expectation metric depth, which
+        # drives the splat voxel coordinates: keep its math f32 even in
+        # mixed-precision mode (bf16 kernels promote up against f32 input).
+        head_in = feats.astype(jnp.float32) if cd is not None else feats
         logits = MultiLayerConv(self.cfg["depth_head"], name="depth_head")(
-            feats, train
+            head_in, train
         )
 
         metric_mm = du.metric_depth_from_logits(

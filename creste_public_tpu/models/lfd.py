@@ -41,7 +41,13 @@ class MaxEntIRL(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.backbone = TerrainNet(cfg["vision_backbone"])
+        vb = cfg["vision_backbone"]
+        if cfg.get("compute_dtype") and not vb.get("compute_dtype"):
+            # thread mixed precision down into the TerrainNet/DepthCompletion
+            # cfg (they read the knob from their own top level)
+            vb = dict(vb)
+            vb["compute_dtype"] = cfg["compute_dtype"]
+        self.backbone = TerrainNet(vb)
         head_cfg = cfg["traversability_head"]
         if head_cfg["value_iterator"] != "VIN":
             raise NotImplementedError(head_cfg["value_iterator"])

@@ -56,6 +56,7 @@ def splat_bilinear(
     H, W = grid_hw
     B, P, F = feats.shape
     n_vox = H * W
+    out_dtype = feats.dtype  # accumulate f32; emit in the stream dtype
 
     xy = xy.astype(jnp.float32)
     xy0 = jnp.floor(xy)
@@ -110,7 +111,7 @@ def splat_bilinear(
     if mode == "mean":
         features = features / jnp.clip(densities, min_weight, None)[..., None]
 
-    return features, densities
+    return features.astype(out_dtype), densities
 
 
 def splat_to_bev(

@@ -1,15 +1,29 @@
-"""Mixed-precision inference utilities (bfloat16 weight casting).
+"""Mixed-precision (bfloat16) weight/activation utilities.
 
 TPU rationale: the deployed reward graph is HBM-bandwidth-bound at batch 1
-(SURVEY §6 shapes); casting conv/dense kernels to bfloat16 halves weight
-traffic and keeps the MXU on its native input type. BatchNorm statistics,
-scales and biases stay float32 — the affine BN math is where bf16 rounding
-compounds (running means up to ~1e3 for the mm-depth channel), and keeping
-them f32 costs no bandwidth that matters (they are O(C) vectors).
+(95% of the v5e's 819 GB/s at f32 — bench.py roofline fields), so the only
+way past the f32 speed of light is moving fewer bytes. The opt-in
+`compute_dtype: bfloat16` mode runs the activation stream in bfloat16 while
+keeping the numerics-critical islands in float32:
 
-This is an OPT-IN mode (`bench.py --bf16`, `compile.py --bf16`): it is NOT
-parity-compatible with the <=1e-3 reward-deviation north star; the bench
-prints the measured deviation next to the speedup so the trade is explicit.
+  * the RGBD input and the EffNet stem (the mm-scale depth channel would
+    quantise at ~0.4% relative — 10 cm at range — before the network even
+    sees it); bfloat16 enters AFTER the stem BN+silu,
+  * every BatchNorm's internal math (models.blocks.convnets.batch_norm
+    upcasts to f32 and casts back, so running stats and the large-mean
+    subtraction stay exact while the stream stays bf16),
+  * the depth head + softmax-expectation metric depth (drives the splat
+    voxel coordinates — geometry stays f32),
+  * the splat scatter accumulator (f32 adds; only the emitted bev_features
+    are cast back to the stream dtype).
+
+Weights are cast once via `cast_variables` (module-aware: BatchNorm
+statistics AND affine params stay f32 so the f32 norm math has f32 inputs;
+conv/dense kernels and biases go bf16 so flax dtype promotion keeps the
+stream bf16). This is an OPT-IN mode (`bench.py --bf16`,
+`compile.py --bf16`, training `compute_dtype`): it is NOT parity-compatible
+with the <=1e-3 reward-deviation north star; the bench prints the measured
+deviation next to the speedup so the trade is explicit.
 """
 from __future__ import annotations
 
@@ -18,28 +32,29 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-# leaf names kept in float32 (BN statistics + affine params)
-_KEEP_F32 = ("mean", "var", "scale", "bias")
 
-
-def cast_variables(
-    variables: dict, dtype: Any = jnp.bfloat16, keep_f32: tuple = _KEEP_F32
-) -> dict:
+def cast_variables(variables: dict, dtype: Any = jnp.bfloat16) -> dict:
     """Cast weight leaves of a flax variables dict to ``dtype``.
 
-    Leaves whose name is in ``keep_f32`` (BN stats/affine, biases) and
-    non-float leaves are left untouched.
+    Module-aware: a subtree that carries normalisation state — ``scale``
+    (norm affine, params collection) or ``mean``/``var`` (running stats,
+    batch_stats collection) — is left entirely in float32, including its
+    ``bias``; conv/dense ``bias`` leaves elsewhere ARE cast so flax dtype
+    promotion keeps the activation stream in ``dtype`` (a single f32 bias
+    would silently upcast the whole layer). Non-float leaves untouched.
     """
 
-    def visit(path, leaf):
-        name = str(getattr(path[-1], "key", path[-1]))
-        if name in keep_f32:
-            return leaf
-        if not jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
-            return leaf
-        return jnp.asarray(leaf, dtype)
+    def cast_tree(tree):
+        if isinstance(tree, dict):
+            if "scale" in tree or "mean" in tree or "var" in tree:
+                return tree  # norm module: statistics + affine stay f32
+            return {k: cast_tree(v) for k, v in tree.items()}
+        leaf = jnp.asarray(tree)
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dtype)
+        return tree
 
-    return jax.tree_util.tree_map_with_path(visit, variables)
+    return cast_tree(variables)
 
 
 def max_abs_deviation(a: Any, b: Any) -> float:

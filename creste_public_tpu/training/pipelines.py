@@ -83,13 +83,12 @@ def make_loss_closure(
     (total, (new_batch_stats, metrics)) for data_parallel_train_step."""
 
     # Opt-in mixed-precision compute (model cfg `compute_dtype: bfloat16`):
-    # master params stay f32 in the optimizer; weights + inputs are cast to
-    # bf16 and outputs/losses cast back to f32. NOTE the effect is mostly
-    # weight-HBM traffic: BN scale/bias stay f32 (runtime.precision), and
-    # flax dtype promotion returns f32 activations after each BatchNorm, so
-    # convs after the first BN of each block compute in f32 — measured
-    # ~1.5% on the v5e stage-2 step (562 vs 571 ms @ B=16), which is why
-    # f32 remains the default. Grad of an f32 master param through the
+    # master params stay f32 in the optimizer; non-norm weights are cast to
+    # bf16 and the models run their activation stream in bf16 (the cast
+    # enters after the EffNet stem; BatchNorm math, the depth head and the
+    # splat geometry stay f32 — see runtime.precision). Inputs are NOT cast
+    # (the mm-scale depth channel would quantise at ~0.4%). Outputs/losses
+    # and batch stats are f32. Grad of an f32 master param through the
     # cast is f32 (the cast VJP casts back).
     mcfg = getattr(model, "cfg", None)
     compute_dtype = None
@@ -111,10 +110,6 @@ def make_loss_closure(
             from creste_public_tpu.runtime.precision import cast_variables
 
             variables = cast_variables(variables, compute_dtype)
-            args = tuple(
-                _cast_float(a, compute_dtype) if a is not None else None
-                for a in args
-            )
         outputs, mutated = model.apply(
             variables,
             *args,

@@ -22,8 +22,10 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--latency", action="store_true")
     ap.add_argument("--bf16", action="store_true",
-                    help="cast conv/dense weights to bfloat16 before export "
-                         "(runtime/precision.py; opt-in, not parity-exact)")
+                    help="export the mixed-precision graph: bf16 activation "
+                         "stream + bf16 non-norm weights, f32 geometry "
+                         "islands (runtime/precision.py; opt-in, not "
+                         "parity-exact)")
     args = ap.parse_args()
 
     import jax
@@ -41,6 +43,8 @@ def main():
     cfg = (presets.tiny_traversability_config() if args.tiny
            else presets.traversability_model_config())
     cfg["solve_mdp"] = False
+    if args.bf16:
+        cfg["compute_dtype"] = "bfloat16"
     h, w = cfg["vision_backbone"]["vision_backbone"]["effnet_cfgs"]["image_size"]
     rng = np.random.default_rng(0)
     rgbd = rng.uniform(0, 1, (1, 1, h, w, 4)).astype(np.float32)

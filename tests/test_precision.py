@@ -13,6 +13,9 @@ from creste_public_tpu.runtime.precision import (
 
 
 def test_cast_keeps_bn_f32():
+    """Module-aware cast: norm subtrees (scale/mean/var present) stay f32
+    wholesale — including their bias — while conv/dense kernels AND biases
+    go bf16 so flax promotion keeps the activation stream in bf16."""
     variables = {
         "params": {
             "conv": {"kernel": jnp.ones((3, 3, 4, 8)), "bias": jnp.ones(8)},
@@ -22,8 +25,9 @@ def test_cast_keeps_bn_f32():
     }
     cast = cast_variables(variables)
     assert cast["params"]["conv"]["kernel"].dtype == jnp.bfloat16
-    assert cast["params"]["conv"]["bias"].dtype == jnp.float32
+    assert cast["params"]["conv"]["bias"].dtype == jnp.bfloat16
     assert cast["params"]["bn"]["scale"].dtype == jnp.float32
+    assert cast["params"]["bn"]["bias"].dtype == jnp.float32
     assert cast["batch_stats"]["bn"]["mean"].dtype == jnp.float32
     assert cast["batch_stats"]["bn"]["var"].dtype == jnp.float32
 
@@ -51,6 +55,43 @@ def test_bf16_reward_graph_runs_and_bounds_deviation():
                             out16["traversability_preds"])
     scale = max(1.0, float(np.abs(r32).max()))
     assert dev / scale < 0.1  # bf16 is approximate by design; bounded drift
+
+
+def test_bf16_activation_graph():
+    """`compute_dtype: bfloat16` builds the mixed-precision activation
+    graph: bf16 stream (output dtype bfloat16 proves the BN wrapper did not
+    promote back to f32), f32 metric depth (geometry island), bounded
+    reward deviation vs the f32 graph."""
+    cfg = presets.tiny_traversability_config().to_dict()
+    cfg["solve_mdp"] = False
+    h, w = cfg["vision_backbone"]["vision_backbone"]["effnet_cfgs"]["image_size"]
+    rng = np.random.default_rng(0)
+    rgbd = rng.uniform(0, 1, (1, 1, h, w, 4)).astype(np.float32)
+    rgbd[..., 3] *= 3000.0
+    p2p = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1, 1))
+
+    model32 = MaxEntIRL(cfg)
+    variables = model32.init({"params": jax.random.PRNGKey(0)},
+                             jnp.asarray(rgbd), jnp.asarray(p2p))
+    out32 = model32.apply(variables, jnp.asarray(rgbd), jnp.asarray(p2p))
+
+    cfg16 = dict(cfg)
+    cfg16["compute_dtype"] = "bfloat16"
+    model16 = MaxEntIRL(cfg16)
+    out16 = model16.apply(cast_variables(variables), jnp.asarray(rgbd),
+                          jnp.asarray(p2p))
+    r16 = out16["traversability_preds"]
+    # the BEV feature stream stayed bf16 end-to-end (proves the BN wrapper
+    # did not promote back to f32) ...
+    assert out16["bev_features"].dtype == jnp.bfloat16
+    # ... while the geometry + reward islands stayed f32
+    assert out16["depth_preds_metric"].dtype == jnp.float32
+    assert r16.dtype == jnp.float32
+    assert np.isfinite(np.asarray(r16, np.float32)).all()
+    dev = max_abs_deviation(out32["traversability_preds"], r16)
+    scale = max(1.0, float(np.abs(np.asarray(
+        out32["traversability_preds"], np.float32)).max()))
+    assert dev / scale < 0.1
 
 
 def test_bf16_compute_training_step():
