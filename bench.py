@@ -40,6 +40,10 @@ def main() -> None:
                     help="also benchmark bfloat16-cast weights and report "
                          "the reward-map deviation vs f32 (opt-in: not "
                          "parity-compatible)")
+    ap.add_argument("--fused", action="store_true",
+                    help="also benchmark the fused Pallas reward head "
+                         "(parity-safe: BN-fold + reassociation only; "
+                         "reports the measured deviation)")
     args = ap.parse_args()
 
     import jax
@@ -69,6 +73,20 @@ def main() -> None:
         line.update(mfu_fields(cs["flops"], cs["bytes"], per_frame))
     except Exception as e:  # cost_analysis unavailable on some backends
         line["cost_analysis_error"] = str(e)[:120]
+
+    if args.fused:
+        from creste_public_tpu.runtime.precision import max_abs_deviation
+
+        fnf, _ = entry(fused_reward=True)
+        per_f, _ = serialized_latency(
+            fnf, variables, rgbd, p2p, "traversability_preds"
+        )
+        out_f32 = jax.jit(fn)(variables, rgbd, p2p)
+        out_fused = jax.jit(fnf)(variables, rgbd, p2p)
+        line["fused_hz"] = round(1.0 / per_f, 2)
+        line["fused_reward_max_dev"] = round(max_abs_deviation(
+            out_f32["traversability_preds"],
+            out_fused["traversability_preds"]), 8)
 
     if args.bf16:
         from creste_public_tpu.runtime.precision import (

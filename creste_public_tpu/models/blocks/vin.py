@@ -24,6 +24,28 @@ from creste_public_tpu.ops.value_iteration import value_iteration
 Array = Any
 
 
+def build_input_view(
+    feat_map: dict[str, Array], input_keys, ds: int
+) -> Array:
+    """Concat configured maps, pool by ds, crop the front half, detach —
+    reference vin.py:103-115. Shared by the flax VIN and the fused Pallas
+    deployment path (runtime/export.py) so the two stay in lockstep.
+
+    f32 island: the reward net + value iteration operate on the small
+    cropped 64x128 grid (negligible HBM traffic next to the image-space
+    backbone), and the reward feeds the MDP solve — keep them exact even
+    when the upstream BEV stream runs in bfloat16.
+    """
+    input_view = jnp.concatenate(
+        [feat_map[k] for k in input_keys], axis=-1
+    )
+    input_view = nn.max_pool(input_view, (ds, ds), strides=(ds, ds))
+    H = input_view.shape[1]
+    input_view = input_view[:, : H // 2, :, :]
+    input_view = input_view.astype(jnp.float32)
+    return jax.lax.stop_gradient(input_view)
+
+
 class VIN(nn.Module):
     reward_cfg: Any
     qvalue_cfg: Any
@@ -43,20 +65,8 @@ class VIN(nn.Module):
         return self.r(input_view, train)
 
     def build_input_view(self, feat_map: dict[str, Array]) -> Array:
-        """Concat configured maps, pool by ds, crop the front half, detach."""
-        input_view = jnp.concatenate(
-            [feat_map[k] for k in self.reward_cfg["input_keys"]], axis=-1
-        )
-        ds = int(self.reward_cfg["ds"])
-        input_view = nn.max_pool(input_view, (ds, ds), strides=(ds, ds))
-        H = input_view.shape[1]
-        input_view = input_view[:, : H // 2, :, :]
-        # f32 island: the reward net + value iteration operate on the small
-        # cropped 64x128 grid (negligible HBM traffic next to the image-space
-        # backbone), and the reward feeds the MDP solve — keep them exact
-        # even when the upstream BEV stream runs in bfloat16.
-        input_view = input_view.astype(jnp.float32)
-        return jax.lax.stop_gradient(input_view)
+        return build_input_view(feat_map, self.reward_cfg["input_keys"],
+                                int(self.reward_cfg["ds"]))
 
     def __call__(
         self,

@@ -20,16 +20,72 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_inference_fn(cfg: Any, variables: Any) -> tuple[Callable, Any]:
-    """Returns (fn(variables, rgbd, p2p) -> outputs, jitted fn)."""
+def build_inference_fn(
+    cfg: Any, variables: Any, fused_reward: bool = False
+) -> tuple[Callable, Any]:
+    """Returns (fn(variables, rgbd, p2p) -> outputs, jitted fn).
+
+    ``fused_reward=True`` swaps the VIN reward head (7 tiny convs + BNs on
+    the 64x128 grid — op-launch-bound at deployment) for the fused Pallas
+    kernels in ops/reward_pallas.py: same backbone, same input-view
+    construction (models.blocks.vin.build_input_view is shared), BNs folded
+    — inference-only, numerics match the flax head to float reassociation.
+    """
     from creste_public_tpu.models.lfd import MaxEntIRL
 
     cfg = dict(cfg.to_dict() if hasattr(cfg, "to_dict") else cfg)
     cfg["solve_mdp"] = False  # deployment graph: no value iteration
     model = MaxEntIRL(cfg)
 
+    if not fused_reward:
+        def fn(variables, rgbd, p2p):
+            return model.apply(variables, rgbd, p2p, train=False)
+
+        return fn, jax.jit(fn)
+
+    import jax.numpy as jnp
+
+    from creste_public_tpu.models.blocks.vin import build_input_view
+    from creste_public_tpu.models.terrainnet import TerrainNet
+    from creste_public_tpu.ops.reward_pallas import msfcn_fused_apply
+
+    vb_cfg = cfg["vision_backbone"]
+    if cfg.get("compute_dtype") and not vb_cfg.get("compute_dtype"):
+        vb_cfg = dict(vb_cfg)
+        vb_cfg["compute_dtype"] = cfg["compute_dtype"]
+    backbone = TerrainNet(vb_cfg)
+    reward_cfg = cfg["traversability_head"]["net_kwargs"]["reward_cfg"]
+    input_keys = list(reward_cfg["input_keys"])
+    ds = int(reward_cfg["ds"])
+    prefix = reward_cfg["output_prefix"][0]
+
     def fn(variables, rgbd, p2p):
-        return model.apply(variables, rgbd, p2p, train=False)
+        bvars = {
+            "params": variables["params"]["backbone"],
+            "batch_stats": variables.get("batch_stats", {}).get(
+                "backbone", {}),
+        }
+        outputs = dict(backbone.apply(bvars, rgbd, p2p, train=False))
+        iv = build_input_view(outputs, input_keys, ds)
+        rvars = {
+            "params": variables["params"]["traversability_head"]["r"],
+            "batch_stats": variables.get("batch_stats", {}).get(
+                "traversability_head", {}).get("r", {}),
+        }
+        r = msfcn_fused_apply(
+            rvars, iv, interpret=jax.default_backend() != "tpu")
+        # full-size upsampled reward, matching VIN.__call__ (vin.py:121-125)
+        k0 = input_keys[0]
+        Ho, Wo = outputs[k0].shape[1], outputs[k0].shape[2]
+        B = r.shape[0]
+        full_top = jax.image.resize(r, (B, Ho // 2, Wo, 1),
+                                    method="bilinear")
+        full_r = jnp.concatenate(
+            [full_top, jnp.zeros((B, Ho - Ho // 2, Wo, 1), r.dtype)],
+            axis=1)
+        outputs.update({prefix: r, f"{prefix}_full": full_r,
+                        "input_view": iv})
+        return outputs
 
     return fn, jax.jit(fn)
 

@@ -1,0 +1,54 @@
+"""Micro-benchmark: the VIN reward head (MultiScaleFCN) alone on the chip.
+
+The deployment-graph stage breakdown attributes ~2.2 ms of the 7.6 ms
+frame to "+VIN reward" — but that delta includes DCE effects. This times
+the head standalone at its real input shape [1, 64, 128, 40] (7 convs +
+7 BNs, ~1.6 GFLOP => if it costs ms it is op-launch/latency-bound, the
+case for a fused Pallas kernel).
+
+Usage: python scripts/benchmarks/reward_head_bench.py [--iters 200]
+"""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root (scripts are not installed)
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=200)
+    args = ap.parse_args()
+
+    from creste_public_tpu.utils.platform import ensure_env_platform
+
+    ensure_env_platform()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from creste_public_tpu.config import presets
+    from creste_public_tpu.models.blocks.convnets import MultiScaleFCN
+    from creste_public_tpu.runtime.benchmark import serialized_latency
+
+    cfg = presets.traversability_model_config().to_dict()
+    rc = cfg["traversability_head"]["net_kwargs"]["reward_cfg"]
+    model = MultiScaleFCN(rc["net_kwargs"])
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 64, 128, 40)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+
+    def fn(v, x, _unused):
+        return {"r": model.apply(v, x, False)}
+
+    per, single = serialized_latency(fn, variables, x, None, "r",
+                                     n_long=args.iters, repeats=3)
+    print(f"reward head standalone: {per*1e6:8.1f} us/call "
+          f"(tunnel single-call {single*1e3:.2f} ms)")
+
+
+if __name__ == "__main__":
+    main()
