@@ -50,13 +50,16 @@ def sharpen_policy(policy: Array, temperature: float) -> Array:
     return jax.nn.softmax(logits / temperature, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("horizon", "zero_terminal_state"))
+@partial(
+    jax.jit, static_argnames=("horizon", "zero_terminal_state", "backend")
+)
 def expected_svf(
     policy: Array,
     s0: Array,
     s1: Array,
     horizon: int,
     zero_terminal_state: bool = False,
+    backend: str = "auto",
 ) -> Array:
     """Propagate expected state-visitation frequencies for ``horizon`` steps.
 
@@ -66,10 +69,24 @@ def expected_svf(
       s1: [B] linear terminal-state indices.
       horizon: number of steps T (reference action_horizon=50).
       zero_terminal_state: zero out mass at s1 before each propagation.
+      backend: 'auto' (pallas VMEM-resident kernel on TPU — the scan's
+        per-step work underfills the chip; XLA elsewhere), 'xla', or
+        'pallas'. The propagation is forward-only by contract (policy is
+        stop-gradiented upstream, vin.py:105-113).
 
     Returns:
       mu: [B, H, W] summed visitation mass over the horizon.
     """
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from creste_public_tpu.ops.svf_pallas import expected_svf_pallas
+
+        return expected_svf_pallas(
+            policy, s0, s1, horizon, zero_terminal_state,
+            interpret=jax.default_backend() != "tpu",
+        )
     B, H, W, A = policy.shape
     n = H * W
     mu0 = jnp.zeros((B, n), jnp.float32).at[jnp.arange(B), s0].set(1.0)
