@@ -77,7 +77,7 @@ def main() -> None:
     if args.fused:
         from creste_public_tpu.runtime.precision import max_abs_deviation
 
-        fnf, _ = entry(fused_reward=True)
+        fnf, _ = entry(fused_reward=True, variables=variables)
         per_f, _ = serialized_latency(
             fnf, variables, rgbd, p2p, "traversability_preds"
         )
@@ -97,7 +97,7 @@ def main() -> None:
         out_f32 = jax.jit(fn)(variables, rgbd, p2p)
         # mixed-precision graph: bf16 activation stream + bf16 weights,
         # f32 geometry islands (stem/BN/depth-head/splat accumulator)
-        fn16, _ = entry(compute_dtype="bfloat16")
+        fn16, _ = entry(compute_dtype="bfloat16", variables=variables)
         vb = cast_variables(variables)
         per_bf16, _ = serialized_latency(
             fn16, vb, rgbd, p2p, "traversability_preds"

@@ -46,6 +46,19 @@ def build_input_view(
     return jax.lax.stop_gradient(input_view)
 
 
+def full_reward_map(r: Array, Ho: int, Wo: int) -> Array:
+    """Upsampled full-size no-grad reward (vin.py:121-125): bilinear resize
+    of the front-half reward to [B, Ho/2, Wo, 1], back half zero-filled.
+    Shared by the flax VIN and the fused Pallas deployment path."""
+    B = r.shape[0]
+    full_top = jax.image.resize(
+        jax.lax.stop_gradient(r), (B, Ho // 2, Wo, 1), method="bilinear"
+    )
+    return jnp.concatenate(
+        [full_top, jnp.zeros((B, Ho - Ho // 2, Wo, 1), r.dtype)], axis=1
+    )
+
+
 class VIN(nn.Module):
     reward_cfg: Any
     qvalue_cfg: Any
@@ -85,12 +98,7 @@ class VIN(nn.Module):
         B = r.shape[0]
 
         # Upsampled full-size reward (no-grad visual/full output, vin.py:121-125)
-        full_top = jax.image.resize(
-            jax.lax.stop_gradient(r), (B, Ho // 2, Wo, 1), method="bilinear"
-        )
-        full_r = jnp.concatenate(
-            [full_top, jnp.zeros((B, Ho - Ho // 2, Wo, 1), r.dtype)], axis=1
-        )
+        full_r = full_reward_map(r, Ho, Wo)
 
         prefix = self.reward_cfg["output_prefix"][0]
         outputs = {

@@ -36,18 +36,24 @@ def gaussian_2d(goal_xy: Array, sigma: float, H: int, W: int) -> Array:
     return g[..., None]
 
 
+def backbone_cfg_with_dtype(cfg: Any) -> Any:
+    """Thread a top-level ``compute_dtype`` down into the TerrainNet/
+    DepthCompletion cfg (they read the knob from their own top level).
+    Shared by MaxEntIRL.setup and the fused deployment path
+    (runtime/export.py) so the precision plumbing cannot drift."""
+    vb = cfg["vision_backbone"]
+    if cfg.get("compute_dtype") and not vb.get("compute_dtype"):
+        vb = dict(vb)
+        vb["compute_dtype"] = cfg["compute_dtype"]
+    return vb
+
+
 class MaxEntIRL(nn.Module):
     cfg: Any
 
     def setup(self):
         cfg = self.cfg
-        vb = cfg["vision_backbone"]
-        if cfg.get("compute_dtype") and not vb.get("compute_dtype"):
-            # thread mixed precision down into the TerrainNet/DepthCompletion
-            # cfg (they read the knob from their own top level)
-            vb = dict(vb)
-            vb["compute_dtype"] = cfg["compute_dtype"]
-        self.backbone = TerrainNet(vb)
+        self.backbone = TerrainNet(backbone_cfg_with_dtype(cfg))
         head_cfg = cfg["traversability_head"]
         if head_cfg["value_iterator"] != "VIN":
             raise NotImplementedError(head_cfg["value_iterator"])

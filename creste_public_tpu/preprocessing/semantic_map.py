@@ -344,8 +344,12 @@ def build_elevation_bins(
     written = 0
     for c0 in range(frames[0], frames[-1] + 1, chunk):
         c1 = min(c0 + chunk, frames[-1] + 1)
-        todo = [f for f in frames if c0 <= f < c1 and not os.path.exists(
-            os.path.join(out_dir, str(seq), f"{f}.bin"))]
+        # idempotent-by-skip requires BOTH outputs (elevation + variance)
+        # to exist: an interrupted run must backfill a missing var bin
+        todo = [f for f in frames if c0 <= f < c1 and not (
+            os.path.exists(os.path.join(out_dir, str(seq), f"{f}.bin"))
+            and os.path.exists(
+                os.path.join(var_dir, str(seq), f"{f}.bin")))]
         if not todo:
             continue
         smap = SemanticPointMap(

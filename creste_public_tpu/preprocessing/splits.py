@@ -151,8 +151,12 @@ def drop_overlapping_horizons(
     """
 
     def seq_key(s):
+        # totally ordered even for a mix of numeric and named sequences
+        # (int < str comparison would raise); numeric ids sort numerically
         s = str(s)
-        return int(s) if s.lstrip("-").isdigit() else s
+        if s.lstrip("-").isdigit():
+            return (0, int(s), "")
+        return (1, 0, s)
 
     order = sorted(range(len(samples)),
                    key=lambda i: (seq_key(samples[i][0]), int(samples[i][1])))

@@ -43,17 +43,15 @@ def build_inference_fn(
 
         return fn, jax.jit(fn)
 
-    import jax.numpy as jnp
-
-    from creste_public_tpu.models.blocks.vin import build_input_view
+    from creste_public_tpu.models.blocks.vin import (
+        build_input_view,
+        full_reward_map,
+    )
+    from creste_public_tpu.models.lfd import backbone_cfg_with_dtype
     from creste_public_tpu.models.terrainnet import TerrainNet
     from creste_public_tpu.ops.reward_pallas import msfcn_fused_apply
 
-    vb_cfg = cfg["vision_backbone"]
-    if cfg.get("compute_dtype") and not vb_cfg.get("compute_dtype"):
-        vb_cfg = dict(vb_cfg)
-        vb_cfg["compute_dtype"] = cfg["compute_dtype"]
-    backbone = TerrainNet(vb_cfg)
+    backbone = TerrainNet(backbone_cfg_with_dtype(cfg))
     reward_cfg = cfg["traversability_head"]["net_kwargs"]["reward_cfg"]
     input_keys = list(reward_cfg["input_keys"])
     ds = int(reward_cfg["ds"])
@@ -77,13 +75,7 @@ def build_inference_fn(
         # full-size upsampled reward, matching VIN.__call__ (vin.py:121-125)
         k0 = input_keys[0]
         Ho, Wo = outputs[k0].shape[1], outputs[k0].shape[2]
-        B = r.shape[0]
-        full_top = jax.image.resize(r, (B, Ho // 2, Wo, 1),
-                                    method="bilinear")
-        full_r = jnp.concatenate(
-            [full_top, jnp.zeros((B, Ho - Ho // 2, Wo, 1), r.dtype)],
-            axis=1)
-        outputs.update({prefix: r, f"{prefix}_full": full_r,
+        outputs.update({prefix: r, f"{prefix}_full": full_reward_map(r, Ho, Wo),
                         "input_view": iv})
         return outputs
 

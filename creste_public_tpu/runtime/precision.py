@@ -44,11 +44,14 @@ def cast_variables(variables: dict, dtype: Any = jnp.bfloat16) -> dict:
     would silently upcast the whole layer). Non-float leaves untouched.
     """
 
+    from collections.abc import Mapping
+
     def cast_tree(tree):
-        if isinstance(tree, dict):
+        if isinstance(tree, Mapping):  # dict or flax FrozenDict
             if "scale" in tree or "mean" in tree or "var" in tree:
                 return tree  # norm module: statistics + affine stay f32
-            return {k: cast_tree(v) for k, v in tree.items()}
+            mapped = {k: cast_tree(v) for k, v in tree.items()}
+            return mapped if isinstance(tree, dict) else type(tree)(mapped)
         leaf = jnp.asarray(tree)
         if jnp.issubdtype(leaf.dtype, jnp.floating):
             return leaf.astype(dtype)

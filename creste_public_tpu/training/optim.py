@@ -37,8 +37,22 @@ def _ft_semantic_head_frozen(params: Any) -> PathPred:
     has out_channels == 1 — the selection is by output width, not by head
     position (with the shipped 32/6/2-channel heads nothing extra unfreezes;
     pinned by the load_weights exec golden)."""
+    def find_subtree(tree, key):
+        # the decoder can sit at any depth (TerrainNet top level, or nested
+        # under 'backbone' in MaxEntIRL trees) — match the predicate's
+        # any-depth path-substring semantics
+        if not isinstance(tree, dict):
+            return None
+        if key in tree:
+            return tree[key]
+        for v in tree.values():
+            found = find_subtree(v, key)
+            if found is not None:
+                return found
+        return None
+
     one_ch = set()
-    for name, sub in (params or {}).get("bevclassifier", {}).items():
+    for name, sub in (find_subtree(params or {}, "bevclassifier") or {}).items():
         kern = sub.get("proj", {}).get("kernel") if isinstance(sub, dict) else None
         if name.startswith("head_") and kern is not None and kern.shape[-1] == 1:
             one_ch.add(name)

@@ -32,6 +32,23 @@ def test_cast_keeps_bn_f32():
     assert cast["batch_stats"]["bn"]["var"].dtype == jnp.float32
 
 
+def test_cast_handles_frozen_dict():
+    """Checkpoint-restored or flax.core.freeze'd variable trees are
+    Mappings, not dicts — cast must traverse and preserve the type."""
+    from flax.core import FrozenDict
+
+    variables = FrozenDict({
+        "params": {
+            "conv": {"kernel": jnp.ones((3, 3, 4, 8)), "bias": jnp.ones(8)},
+            "bn": {"scale": jnp.ones(8), "bias": jnp.zeros(8)},
+        },
+    })
+    cast = cast_variables(variables)
+    assert isinstance(cast, FrozenDict)
+    assert cast["params"]["conv"]["kernel"].dtype == jnp.bfloat16
+    assert cast["params"]["bn"]["scale"].dtype == jnp.float32
+
+
 def test_bf16_reward_graph_runs_and_bounds_deviation():
     """The deployed graph with bf16-cast weights stays finite and close to
     f32 (loose bound on CPU; the bench prints the measured value on TPU)."""
