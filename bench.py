@@ -114,6 +114,22 @@ def main() -> None:
         except Exception as e:
             line["bf16_cost_analysis_error"] = str(e)[:120]
 
+    if args.bf16 and args.fused:
+        # combined opt-in deployment mode: bf16 activation stream on the
+        # bandwidth-bound backbone + fused Pallas reward head on the
+        # launch-bound tail (the fold upcasts its params to f32, so the
+        # head stays an f32 island regardless of the cast weight tree)
+        fnb, _ = entry(compute_dtype="bfloat16", fused_reward=True,
+                       variables=variables)
+        per_b, _ = serialized_latency(
+            fnb, vb, rgbd, p2p, "traversability_preds"
+        )
+        out_b = jax.jit(fnb)(vb, rgbd, p2p)
+        line["bf16_fused_hz"] = round(1.0 / per_b, 2)
+        line["bf16_fused_reward_max_dev"] = round(max_abs_deviation(
+            out_f32["traversability_preds"],
+            out_b["traversability_preds"]), 6)
+
     print(json.dumps(line))
 
 

@@ -79,6 +79,41 @@ def test_fused_deployment_graph_matches_flax():
             np.asarray(ref[k], np.float32), rtol=1e-4, atol=1e-5)
 
 
+def test_fused_bf16_deployment_graph_runs():
+    """bf16 stream + fused reward head compose (bench.py --bf16 --fused):
+    the fold upcasts the (bf16-cast) head params to f32, the backbone runs
+    the bf16 stream, and the reward stays close to the f32 flax graph."""
+    from creste_public_tpu.models.lfd import MaxEntIRL
+    from creste_public_tpu.runtime.export import build_inference_fn
+    from creste_public_tpu.runtime.precision import (
+        cast_variables,
+        max_abs_deviation,
+    )
+
+    cfg = presets.tiny_traversability_config().to_dict()
+    cfg["solve_mdp"] = False
+    h, w = cfg["vision_backbone"]["vision_backbone"]["effnet_cfgs"]["image_size"]
+    rng = np.random.default_rng(0)
+    rgbd = jnp.asarray(rng.uniform(0, 1, (1, 1, h, w, 4)).astype(np.float32)
+                       * np.array([1, 1, 1, 3000], np.float32))
+    p2p = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (1, 1, 1, 1)))
+
+    model = MaxEntIRL(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, rgbd, p2p)
+    ref = model.apply(variables, rgbd, p2p, train=False)
+
+    cfg_bf16 = dict(cfg, compute_dtype="bfloat16")
+    fn, _ = build_inference_fn(cfg_bf16, variables, fused_reward=True)
+    out = fn(cast_variables(variables), rgbd, p2p)
+
+    r = out["traversability_preds"]
+    assert r.shape == ref["traversability_preds"].shape
+    assert bool(jnp.all(jnp.isfinite(r)))
+    # loose: bf16 stream is not parity-compatible by design, but the
+    # reward must stay in the same regime as f32
+    assert max_abs_deviation(r, ref["traversability_preds"]) < 0.15
+
+
 def test_fused_reward_head_jits():
     """The fused path is jit-compatible (deployment graph requirement)."""
     cfg = _production_head_cfg()
