@@ -127,10 +127,12 @@ class InferenceEngine:
     the p50/p95 single-frame latency (compile.py:199-206 dry-run analog).
     """
 
-    def __init__(self, cfg: Any, variables: Any, device=None):
+    def __init__(self, cfg: Any, variables: Any, device=None,
+                 fused_reward: bool = False):
         self.device = device or jax.devices()[0]
         self.variables = jax.device_put(variables, self.device)
-        fn, self._jfn = build_inference_fn(cfg, variables)
+        fn, self._jfn = build_inference_fn(cfg, variables,
+                                           fused_reward=fused_reward)
         self._fn = fn
 
     def step(self, rgbd, p2p) -> dict:

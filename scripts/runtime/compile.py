@@ -26,6 +26,10 @@ def main():
                          "stream + bf16 non-norm weights, f32 geometry "
                          "islands (runtime/precision.py; opt-in, not "
                          "parity-exact)")
+    ap.add_argument("--fused", action="store_true",
+                    help="export with the fused Pallas reward head "
+                         "(ops/reward_pallas.py; parity-safe BN-fold — "
+                         "TPU-only artifact when exported on TPU)")
     args = ap.parse_args()
 
     import jax
@@ -65,12 +69,12 @@ def main():
 
         variables = cast_variables(variables)
 
-    fn, _ = build_inference_fn(cfg, variables)
+    fn, _ = build_inference_fn(cfg, variables, fused_reward=args.fused)
     _, blob = export_inference_graph(fn, variables, rgbd, p2p, args.out)
     print(f"exported {len(blob)/1e6:.2f} MB StableHLO to {args.out}")
 
     if args.latency:
-        eng = InferenceEngine(cfg, variables)
+        eng = InferenceEngine(cfg, variables, fused_reward=args.fused)
         print(eng.latency_stats(rgbd, p2p))
 
 
