@@ -44,6 +44,10 @@ def main() -> None:
                     help="also benchmark the fused Pallas reward head "
                          "(parity-safe: BN-fold + reassociation only; "
                          "reports the measured deviation)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="also measure offline/serving throughput at "
+                         "batch N (frames/s; amortises per-launch "
+                         "overheads the single-frame latency path pays)")
     args = ap.parse_args()
 
     import jax
@@ -113,6 +117,20 @@ def main() -> None:
                 cs16["flops"], cs16["bytes"], per_bf16).items()})
         except Exception as e:
             line["bf16_cost_analysis_error"] = str(e)[:120]
+
+    if args.batch and args.batch > 1:
+        fnB, (_, rgbdB, p2pB) = entry(variables=variables, batch=args.batch)
+        per_step, _ = serialized_latency(
+            fnB, variables, rgbdB, p2pB, "traversability_preds"
+        )
+        line["batch"] = args.batch
+        line["batch_fps"] = round(args.batch / per_step, 2)
+        try:
+            csb = cost_stats(fnB, variables, rgbdB, p2pB)
+            line.update({f"batch_{k}": v for k, v in mfu_fields(
+                csb["flops"], csb["bytes"], per_step).items()})
+        except Exception as e:
+            line["batch_cost_analysis_error"] = str(e)[:120]
 
     if args.bf16 and args.fused:
         # combined opt-in deployment mode: bf16 activation stream on the
