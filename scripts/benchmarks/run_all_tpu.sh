@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# One-shot TPU measurement sweep: runs every pending benchmark in priority
+# order, appending each tool's output to $OUT (default /tmp/tpu_sweep.log).
+# Designed for the flaky axon tunnel — each step is independently
+# timeout-bounded and a failure does not stop the sweep.
+#
+# Usage: bash scripts/benchmarks/run_all_tpu.sh [outfile]
+set -u
+OUT="${1:-/tmp/tpu_sweep.log}"
+cd "$(dirname "$0")/../.."
+
+run() {
+  name="$1"; shift
+  echo "=== $name @ $(date -u +%H:%M:%S) ===" | tee -a "$OUT"
+  timeout "$@" >>"$OUT" 2>&1
+  echo "--- $name exit=$? @ $(date -u +%H:%M:%S)" | tee -a "$OUT"
+}
+
+# 1. headline + all opt-in variants + batched throughput (one process:
+#    shares the expensive production-shape init + tunnel warmup)
+run headline_variants 3600 python bench.py --fused --bf16 --batch 8
+
+# 2. fused reward head micro-benchmark (flax vs pallas on-chip)
+run reward_head 1800 python scripts/benchmarks/reward_head_bench.py
+
+# 3. SVF propagation micro-benchmark (XLA scan vs pallas)
+run svf 1800 python scripts/benchmarks/svf_bench.py
+
+# 4. stage-2 train step, f32 then real bf16 stream (round-3 re-measure)
+run train_f32 2400 python scripts/benchmarks/train_step_bench.py --batch 16
+run train_bf16 2400 python scripts/benchmarks/train_step_bench.py \
+  --batch 16 --dtype bfloat16
+
+# 5. stage-3 IRL step (now with pallas VI + pallas SVF dispatch)
+run train_irl 2400 python scripts/benchmarks/train_step_bench.py \
+  --stage traversability --batch 10
+
+tail -n +1 "$OUT"
