@@ -109,6 +109,84 @@ def export_inference_graph(
     return exported, blob
 
 
+_DTYPE_TOKENS = {
+    "float32": "f32", "bfloat16": "bf16", "float16": "f16",
+    "int32": "s32", "int64": "s64", "uint8": "u8", "bool": "pred",
+}
+
+
+def export_native_artifacts(
+    cfg: Any,
+    variables: Any,
+    rgbd: Any,
+    p2p: Any,
+    out_dir: str,
+    platform: str | None = None,
+    fused_reward: bool = False,
+    output_keys: Any = None,
+) -> dict:
+    """Write the native-host deployment artifact (native/creste_serve.cpp).
+
+    The inference fn is closed over ``variables`` (weights become module
+    constants) so the native calling convention is just (rgbd, p2p) ->
+    flat outputs; the artifact is ``out_dir/module.mlirbc`` (StableHLO
+    bytecode a PJRT plugin compiles directly) + ``out_dir/manifest.txt``
+    (input/output names, dtypes, shapes — one line each). This is the
+    TPU-native analog of the reference's compile.py -> .pt -> C++
+    creste_realtime pipeline (reference README.md:40).
+
+    ``platform`` pins the lowering platform (e.g. 'tpu' to build a TPU
+    artifact from a CPU host); default = the current backend.
+    ``output_keys`` restricts the exported outputs (deployment wants the
+    reward maps, not every intermediate BEV tensor — XLA then DCEs the
+    unused heads out of the module).
+    """
+    from jax import export as jexport
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    fn, _ = build_inference_fn(cfg, variables, fused_reward=fused_reward)
+
+    def closed(rgbd, p2p):
+        out = fn(variables, rgbd, p2p)
+        if output_keys:
+            out = {k: out[k] for k in output_keys}
+        return out
+
+    args = tuple(
+        jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+        for x in (rgbd, p2p)
+    )
+    kwargs = {} if platform is None else {"platforms": [platform]}
+    exported = jexport.export(jax.jit(closed), **kwargs)(*args)
+    bc = exported.mlir_module_serialized
+
+    def spec_line(kind, name, aval):
+        token = _DTYPE_TOKENS.get(str(aval.dtype), str(aval.dtype))
+        dims = ",".join(str(d) for d in aval.shape)
+        return f"{kind} {name} {token} {dims}"
+
+    out_avals = jax.tree_util.tree_unflatten(
+        exported.out_tree, exported.out_avals
+    )
+    lines = ["format mlir"]
+    for name, aval in zip(("rgbd", "p2p"), args):
+        lines.append(spec_line("input", name, aval))
+    for path, aval in tree_flatten_with_path(out_avals)[0]:
+        name = keystr(path).strip("[]'\"").replace("']['", ".")
+        lines.append(spec_line("output", name, aval))
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "module.mlirbc"), "wb") as f:
+        f.write(bc)
+    with open(os.path.join(out_dir, "manifest.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return {
+        "module_bytes": len(bc),
+        "num_inputs": 2,
+        "num_outputs": len(exported.out_avals),
+    }
+
+
 def load_exported(path_or_bytes):
     from jax import export as jexport
 

@@ -1,0 +1,421 @@
+// creste_serve: native (no-Python) serving host for the exported CREStE
+// inference graph, speaking the PJRT C API directly to a device plugin.
+//
+// Parity target: the reference's deployment story — compile.py traces the
+// model and a sister C++ ROS1 pipeline (creste_realtime, README.md:40)
+// runs it "free from any complex python dependencies". The TPU-native
+// equivalent: runtime/export.py::export_native_artifacts writes the
+// variables-closed StableHLO module + a text manifest; this host dlopens a
+// PJRT plugin (/opt/axon/libaxon_pjrt.so for the tunnel TPU, or any other
+// GetPjrtApi provider), compiles the module on the device, and serves it.
+//
+// Usage:
+//   creste_serve --plugin libaxon_pjrt.so --artifact DIR
+//                [--iters 30] [--warmup 3] [--distinct 8]
+//
+// DIR holds module.mlirbc (StableHLO bytecode) and manifest.txt:
+//   format mlir
+//   input  <name> <dtype> <d0,d1,...>
+//   output <name> <dtype> <d0,d1,...>
+//
+// Timing note: a tunnel-attached runtime may memoize (program, args)
+// executions (see runtime/benchmark.py). --distinct N pre-stages N
+// different input sets and cycles through them, so up to N iterations are
+// honest; on a host-attached chip wall latency is honest regardless.
+//
+// Prints one JSON line: {"per_frame_ms": ..., "hz": ..., "outputs": [...]}.
+#include <dlfcn.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include <chrono>
+#include <cstdint>
+#include <fstream>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#include "xla/pjrt/c/pjrt_c_api.h"
+
+namespace {
+
+struct TensorSpec {
+  std::string name;
+  std::string dtype;
+  std::vector<int64_t> dims;
+};
+
+int64_t NumElems(const TensorSpec& t) {
+  int64_t n = 1;
+  for (int64_t d : t.dims) n *= d;
+  return n;
+}
+
+PJRT_Buffer_Type TypeOf(const std::string& s) {
+  if (s == "f32" || s == "float32") return PJRT_Buffer_Type_F32;
+  if (s == "bf16" || s == "bfloat16") return PJRT_Buffer_Type_BF16;
+  if (s == "s32" || s == "int32") return PJRT_Buffer_Type_S32;
+  if (s == "u8" || s == "uint8") return PJRT_Buffer_Type_U8;
+  if (s == "pred" || s == "bool") return PJRT_Buffer_Type_PRED;
+  fprintf(stderr, "unsupported dtype %s\n", s.c_str());
+  exit(2);
+}
+
+size_t ByteWidth(PJRT_Buffer_Type t) {
+  switch (t) {
+    case PJRT_Buffer_Type_F32:
+    case PJRT_Buffer_Type_S32:
+      return 4;
+    case PJRT_Buffer_Type_BF16:
+      return 2;
+    default:
+      return 1;
+  }
+}
+
+const PJRT_Api* g_api = nullptr;
+
+void Check(PJRT_Error* err, const char* what) {
+  if (!err) return;
+  PJRT_Error_Message_Args m;
+  memset(&m, 0, sizeof(m));
+  m.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+  m.error = err;
+  g_api->PJRT_Error_Message(&m);
+  fprintf(stderr, "%s failed: %.*s\n", what, (int)m.message_size, m.message);
+  PJRT_Error_Destroy_Args d;
+  memset(&d, 0, sizeof(d));
+  d.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+  d.error = err;
+  g_api->PJRT_Error_Destroy(&d);
+  exit(3);
+}
+
+void AwaitAndDestroy(PJRT_Event* ev, const char* what) {
+  if (!ev) return;
+  PJRT_Event_Await_Args a;
+  memset(&a, 0, sizeof(a));
+  a.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+  a.event = ev;
+  Check(g_api->PJRT_Event_Await(&a), what);
+  PJRT_Event_Destroy_Args d;
+  memset(&d, 0, sizeof(d));
+  d.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+  d.event = ev;
+  g_api->PJRT_Event_Destroy(&d);
+}
+
+// Minimal serialized CompileOptionsProto (hand-encoded; schema:
+// xla/pjrt/proto/compile_options.proto): executable_build_options (field 3)
+// { device_ordinal (1) = -1, num_replicas (4) = 1, num_partitions (5) = 1 }.
+std::string CompileOptionsBytes() {
+  std::string ebo;
+  ebo.push_back(0x08);  // field 1 varint: device_ordinal = -1 (int64)
+  for (int i = 0; i < 9; ++i) ebo.push_back((char)0xff);
+  ebo.push_back(0x01);
+  ebo.push_back(0x20);  // field 4 varint: num_replicas = 1
+  ebo.push_back(0x01);
+  ebo.push_back(0x28);  // field 5 varint: num_partitions = 1
+  ebo.push_back(0x01);
+  std::string out;
+  out.push_back(0x1a);  // field 3, wire type 2 (length-delimited)
+  out.push_back((char)ebo.size());
+  out += ebo;
+  return out;
+}
+
+// Deterministic xorshift fill so runs are reproducible and --distinct sets
+// actually differ.
+void FillHost(std::vector<uint8_t>& buf, PJRT_Buffer_Type t, uint64_t seed) {
+  uint64_t s = seed * 2654435761u + 1;
+  auto next = [&s]() {
+    s ^= s << 13;
+    s ^= s >> 7;
+    s ^= s << 17;
+    return s;
+  };
+  if (t == PJRT_Buffer_Type_F32) {
+    float* p = reinterpret_cast<float*>(buf.data());
+    for (size_t i = 0; i < buf.size() / 4; ++i)
+      p[i] = (float)((next() >> 40) & 0xffffff) / (float)0x1000000;
+  } else {
+    for (size_t i = 0; i < buf.size(); ++i) buf[i] = (uint8_t)(next() >> 56);
+  }
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  const char* plugin = "/opt/axon/libaxon_pjrt.so";
+  const char* artifact = nullptr;
+  int iters = 30, warmup = 3, distinct = 8;
+  for (int i = 1; i < argc; ++i) {
+    if (!strcmp(argv[i], "--plugin") && i + 1 < argc) plugin = argv[++i];
+    else if (!strcmp(argv[i], "--artifact") && i + 1 < argc)
+      artifact = argv[++i];
+    else if (!strcmp(argv[i], "--iters") && i + 1 < argc)
+      iters = atoi(argv[++i]);
+    else if (!strcmp(argv[i], "--warmup") && i + 1 < argc)
+      warmup = atoi(argv[++i]);
+    else if (!strcmp(argv[i], "--distinct") && i + 1 < argc)
+      distinct = atoi(argv[++i]);
+    else {
+      fprintf(stderr,
+              "usage: creste_serve --plugin SO --artifact DIR "
+              "[--iters N] [--warmup N] [--distinct N]\n");
+      return 2;
+    }
+  }
+  if (!artifact) {
+    fprintf(stderr, "--artifact DIR is required\n");
+    return 2;
+  }
+  if (distinct < 1) distinct = 1;
+
+  // ---- artifact ----
+  std::string dir(artifact);
+  std::ifstream mf(dir + "/manifest.txt");
+  if (!mf) {
+    fprintf(stderr, "cannot read %s/manifest.txt\n", artifact);
+    return 2;
+  }
+  std::vector<TensorSpec> inputs, outputs;
+  std::string line;
+  while (std::getline(mf, line)) {
+    std::istringstream ss(line);
+    std::string kind;
+    ss >> kind;
+    if (kind != "input" && kind != "output") continue;
+    TensorSpec t;
+    std::string dims;
+    ss >> t.name >> t.dtype >> dims;
+    std::istringstream ds(dims);
+    std::string d;
+    while (std::getline(ds, d, ','))
+      if (!d.empty()) t.dims.push_back(atoll(d.c_str()));
+    (kind == "input" ? inputs : outputs).push_back(t);
+  }
+  std::ifstream modf(dir + "/module.mlirbc", std::ios::binary);
+  if (!modf) {
+    fprintf(stderr, "cannot read %s/module.mlirbc\n", artifact);
+    return 2;
+  }
+  std::string module((std::istreambuf_iterator<char>(modf)),
+                     std::istreambuf_iterator<char>());
+  fprintf(stderr, "artifact: %zu inputs, %zu outputs, module %zu bytes\n",
+          inputs.size(), outputs.size(), module.size());
+
+  // ---- plugin ----
+  void* so = dlopen(plugin, RTLD_NOW | RTLD_LOCAL);
+  if (!so) {
+    fprintf(stderr, "dlopen(%s): %s\n", plugin, dlerror());
+    return 2;
+  }
+  auto get_api = reinterpret_cast<const PJRT_Api* (*)()>(
+      dlsym(so, "GetPjrtApi"));
+  if (!get_api) {
+    fprintf(stderr, "no GetPjrtApi in %s\n", plugin);
+    return 2;
+  }
+  g_api = get_api();
+  // The newest API entry this host calls must exist in the plugin's table
+  // (append-only ABI; struct_size gates the valid prefix).
+  size_t need = offsetof(PJRT_Api, PJRT_Buffer_ToHostBuffer) + sizeof(void*);
+  if (g_api->struct_size < need) {
+    fprintf(stderr, "plugin PJRT_Api too old: %zu < %zu\n",
+            g_api->struct_size, need);
+    return 2;
+  }
+  fprintf(stderr, "plugin api %d.%d\n", g_api->pjrt_api_version.major_version,
+          g_api->pjrt_api_version.minor_version);
+
+  PJRT_Plugin_Initialize_Args pi;
+  memset(&pi, 0, sizeof(pi));
+  pi.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
+  Check(g_api->PJRT_Plugin_Initialize(&pi), "Plugin_Initialize");
+
+  PJRT_Client_Create_Args cc;
+  memset(&cc, 0, sizeof(cc));
+  cc.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  Check(g_api->PJRT_Client_Create(&cc), "Client_Create");
+  PJRT_Client* client = cc.client;
+
+  PJRT_Client_AddressableDevices_Args ad;
+  memset(&ad, 0, sizeof(ad));
+  ad.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
+  ad.client = client;
+  Check(g_api->PJRT_Client_AddressableDevices(&ad), "AddressableDevices");
+  if (ad.num_addressable_devices == 0) {
+    fprintf(stderr, "no addressable devices\n");
+    return 3;
+  }
+  PJRT_Device* device = ad.addressable_devices[0];
+
+  // ---- compile ----
+  PJRT_Program prog;
+  memset(&prog, 0, sizeof(prog));
+  prog.struct_size = PJRT_Program_STRUCT_SIZE;
+  prog.code = module.data();
+  prog.code_size = module.size();
+  static const char kFmt[] = "mlir";
+  prog.format = kFmt;
+  prog.format_size = sizeof(kFmt) - 1;
+
+  std::string copts = CompileOptionsBytes();
+  PJRT_Client_Compile_Args co;
+  memset(&co, 0, sizeof(co));
+  co.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+  co.client = client;
+  co.program = &prog;
+  co.compile_options = copts.data();
+  co.compile_options_size = copts.size();
+  auto t0 = std::chrono::steady_clock::now();
+  Check(g_api->PJRT_Client_Compile(&co), "Compile");
+  PJRT_LoadedExecutable* exec = co.executable;
+  double compile_s = std::chrono::duration<double>(
+                         std::chrono::steady_clock::now() - t0)
+                         .count();
+  fprintf(stderr, "compiled in %.1f s\n", compile_s);
+
+  PJRT_LoadedExecutable_GetExecutable_Args ge;
+  memset(&ge, 0, sizeof(ge));
+  ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+  ge.loaded_executable = exec;
+  Check(g_api->PJRT_LoadedExecutable_GetExecutable(&ge), "GetExecutable");
+  PJRT_Executable_NumOutputs_Args no;
+  memset(&no, 0, sizeof(no));
+  no.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+  no.executable = ge.executable;
+  Check(g_api->PJRT_Executable_NumOutputs(&no), "NumOutputs");
+  size_t num_outputs = no.num_outputs;
+  if (!outputs.empty() && outputs.size() != num_outputs)
+    fprintf(stderr, "warning: manifest lists %zu outputs, module has %zu\n",
+            outputs.size(), num_outputs);
+
+  // ---- input staging: `distinct` full sets of device buffers ----
+  size_t num_args = inputs.size();
+  std::vector<std::vector<PJRT_Buffer*>> sets(distinct);
+  for (int s = 0; s < distinct; ++s) {
+    for (size_t i = 0; i < num_args; ++i) {
+      const TensorSpec& t = inputs[i];
+      PJRT_Buffer_Type ty = TypeOf(t.dtype);
+      std::vector<uint8_t> host(NumElems(t) * ByteWidth(ty));
+      FillHost(host, ty, s * 1315423911u + i + 1);
+      PJRT_Client_BufferFromHostBuffer_Args b;
+      memset(&b, 0, sizeof(b));
+      b.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+      b.client = client;
+      b.data = host.data();
+      b.type = ty;
+      b.dims = t.dims.data();
+      b.num_dims = t.dims.size();
+      b.host_buffer_semantics =
+          PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+      b.device = device;
+      Check(g_api->PJRT_Client_BufferFromHostBuffer(&b),
+            "BufferFromHostBuffer");
+      AwaitAndDestroy(b.done_with_host_buffer, "h2d");
+      sets[s].push_back(b.buffer);
+    }
+  }
+
+  // ---- execute loop ----
+  std::vector<PJRT_Buffer*> outs(num_outputs, nullptr);
+  auto run_once = [&](int set_idx) {
+    PJRT_ExecuteOptions opts;
+    memset(&opts, 0, sizeof(opts));
+    opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+    PJRT_Buffer* const* arg_list = sets[set_idx].data();
+    PJRT_Buffer** out_list = outs.data();
+    PJRT_Event* done = nullptr;
+    PJRT_LoadedExecutable_Execute_Args ex;
+    memset(&ex, 0, sizeof(ex));
+    ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+    ex.executable = exec;
+    ex.options = &opts;
+    ex.argument_lists = &arg_list;
+    ex.num_devices = 1;
+    ex.num_args = num_args;
+    ex.output_lists = &out_list;
+    ex.device_complete_events = &done;
+    Check(g_api->PJRT_LoadedExecutable_Execute(&ex), "Execute");
+    AwaitAndDestroy(done, "execute-done");
+    // destroy all but the final iteration's outputs (reported below)
+  };
+  auto destroy_outs = [&]() {
+    for (PJRT_Buffer*& b : outs) {
+      if (!b) continue;
+      PJRT_Buffer_Destroy_Args d;
+      memset(&d, 0, sizeof(d));
+      d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+      d.buffer = b;
+      g_api->PJRT_Buffer_Destroy(&d);
+      b = nullptr;
+    }
+  };
+
+  for (int i = 0; i < warmup; ++i) {
+    run_once(i % distinct);
+    destroy_outs();
+  }
+  int timed = iters;
+  auto t1 = std::chrono::steady_clock::now();
+  for (int i = 0; i < timed; ++i) {
+    run_once(i % distinct);
+    if (i + 1 < timed) destroy_outs();
+  }
+  double total_s =
+      std::chrono::duration<double>(std::chrono::steady_clock::now() - t1)
+          .count();
+  double per_frame_ms = total_s / timed * 1e3;
+
+  // ---- report: shapes + checksums of the final outputs ----
+  std::string outs_json = "[";
+  for (size_t o = 0; o < num_outputs; ++o) {
+    PJRT_Buffer_Dimensions_Args dd;
+    memset(&dd, 0, sizeof(dd));
+    dd.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+    dd.buffer = outs[o];
+    Check(g_api->PJRT_Buffer_Dimensions(&dd), "Dimensions");
+    PJRT_Buffer_ToHostBuffer_Args th;
+    memset(&th, 0, sizeof(th));
+    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    th.src = outs[o];
+    Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer(size)");
+    std::vector<uint8_t> host(th.dst_size);
+    memset(&th, 0, sizeof(th));
+    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    th.src = outs[o];
+    th.dst = host.data();
+    th.dst_size = host.size();
+    Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer");
+    AwaitAndDestroy(th.event, "d2h");
+    uint64_t sum = 0;
+    for (uint8_t v : host) sum = sum * 131 + v;
+    char buf[256];
+    std::string dims;
+    for (size_t k = 0; k < dd.num_dims; ++k)
+      dims += (k ? "," : "") + std::to_string(dd.dims[k]);
+    const char* nm = o < outputs.size() ? outputs[o].name.c_str() : "?";
+    snprintf(buf, sizeof(buf),
+             "%s{\"name\": \"%s\", \"dims\": [%s], \"checksum\": %llu}",
+             o ? ", " : "", nm, dims.c_str(), (unsigned long long)sum);
+    outs_json += buf;
+  }
+  outs_json += "]";
+  destroy_outs();
+
+  printf(
+      "{\"per_frame_ms\": %.3f, \"hz\": %.2f, \"compile_s\": %.1f, "
+      "\"iters\": %d, \"distinct\": %d, \"outputs\": %s}\n",
+      per_frame_ms, 1e3 / per_frame_ms, compile_s, timed, distinct,
+      outs_json.c_str());
+
+  PJRT_Client_Destroy_Args cd;
+  memset(&cd, 0, sizeof(cd));
+  cd.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
+  cd.client = client;
+  g_api->PJRT_Client_Destroy(&cd);
+  return 0;
+}

@@ -30,6 +30,16 @@ def main():
                     help="export with the fused Pallas reward head "
                          "(ops/reward_pallas.py; parity-safe BN-fold — "
                          "TPU-only artifact when exported on TPU)")
+    ap.add_argument("--native-dir", default=None,
+                    help="also write the native-host artifact (weights-"
+                         "closed StableHLO + manifest) for "
+                         "native/creste_serve (PJRT C API host)")
+    ap.add_argument("--native-platform", default=None,
+                    help="lowering platform for --native-dir (e.g. 'tpu' "
+                         "to build a TPU artifact from a CPU host)")
+    ap.add_argument("--native-outputs", default=None,
+                    help="comma-separated output keys to keep in the "
+                         "native artifact (default: all)")
     args = ap.parse_args()
 
     import jax
@@ -72,6 +82,20 @@ def main():
     fn, _ = build_inference_fn(cfg, variables, fused_reward=args.fused)
     _, blob = export_inference_graph(fn, variables, rgbd, p2p, args.out)
     print(f"exported {len(blob)/1e6:.2f} MB StableHLO to {args.out}")
+
+    if args.native_dir:
+        from creste_public_tpu.runtime.export import export_native_artifacts
+
+        info = export_native_artifacts(
+            cfg, variables, rgbd, p2p, args.native_dir,
+            platform=args.native_platform, fused_reward=args.fused,
+            output_keys=(args.native_outputs.split(",")
+                         if args.native_outputs else None),
+        )
+        print(f"native artifact: {info['module_bytes']/1e6:.2f} MB module, "
+              f"{info['num_outputs']} outputs -> {args.native_dir} "
+              f"(serve: native/build/creste_serve --artifact "
+              f"{args.native_dir})")
 
     if args.latency:
         eng = InferenceEngine(cfg, variables, fused_reward=args.fused)

@@ -1,0 +1,113 @@
+"""Native PJRT serving host: artifact export + hermetic host round-trip.
+
+native/creste_serve.cpp is the no-Python deployment host (the reference's
+creste_realtime C++ pipeline analog, README.md:40): it dlopens a PJRT
+plugin, compiles the exported StableHLO module, and serves it. These tests
+(a) export the tiny deployment artifact and check the manifest/bytecode
+contract, and (b) run the actual host binary against the in-process echo
+plugin (native/fake_pjrt_plugin.cpp), exercising the full C path: manifest
+parse, dlopen/GetPjrtApi, client + buffer staging, execute loop, D2H
+readback, JSON report.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE = os.path.join(REPO, "native")
+SERVE = os.path.join(NATIVE, "build", "creste_serve")
+FAKE = os.path.join(NATIVE, "build", "libfake_pjrt.so")
+
+
+def _build_native():
+    r = subprocess.run(
+        ["make", "-C", NATIVE, "serve"], capture_output=True, text=True
+    )
+    if r.returncode != 0:
+        pytest.skip(f"native serve build unavailable: {r.stderr[-300:]}")
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    from creste_public_tpu.config import presets
+    from creste_public_tpu.models.lfd import MaxEntIRL
+    from creste_public_tpu.runtime.export import export_native_artifacts
+
+    cfg = presets.tiny_traversability_config().to_dict()
+    cfg["solve_mdp"] = False
+    h, w = cfg["vision_backbone"]["vision_backbone"]["effnet_cfgs"][
+        "image_size"]
+    rng = np.random.default_rng(0)
+    rgbd = (rng.uniform(0, 1, (1, 1, h, w, 4)).astype(np.float32)
+            * np.array([1, 1, 1, 3000], np.float32))
+    p2p = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1, 1))
+
+    model = MaxEntIRL(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, rgbd, p2p)
+    out = tmp_path_factory.mktemp("native_artifact")
+    info = export_native_artifacts(cfg, variables, rgbd, p2p, str(out))
+    return str(out), info
+
+
+def test_export_native_artifacts_contract(artifact):
+    out_dir, info = artifact
+    module = open(os.path.join(out_dir, "module.mlirbc"), "rb").read()
+    assert len(module) == info["module_bytes"] > 1000
+    # StableHLO/MLIR bytecode magic
+    assert module[:4] == b"ML\xefR"
+
+    lines = open(os.path.join(out_dir, "manifest.txt")).read().splitlines()
+    assert lines[0] == "format mlir"
+    inputs = [l.split() for l in lines if l.startswith("input ")]
+    outputs = [l.split() for l in lines if l.startswith("output ")]
+    assert [i[1] for i in inputs] == ["rgbd", "p2p"]
+    assert all(i[2] == "f32" for i in inputs)
+    assert len(outputs) == info["num_outputs"] > 0
+    names = [o[1] for o in outputs]
+    assert any("traversability_preds" in n for n in names)
+    # shapes parse back to ints
+    for spec in inputs + outputs:
+        dims = [int(d) for d in spec[3].split(",")]
+        assert all(d > 0 for d in dims)
+
+
+def test_serve_host_round_trip_with_fake_plugin(artifact):
+    out_dir, info = artifact
+    _build_native()
+    env = dict(os.environ)
+    env["FAKE_PJRT_NUM_OUTPUTS"] = str(info["num_outputs"])
+    r = subprocess.run(
+        [SERVE, "--plugin", FAKE, "--artifact", out_dir,
+         "--iters", "4", "--warmup", "1", "--distinct", "2"],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    line = r.stdout.strip().splitlines()[-1]
+    report = json.loads(line)
+    assert report["hz"] > 0
+    assert report["iters"] == 4
+    assert len(report["outputs"]) == info["num_outputs"]
+    # echo plugin: output 0 is a byte-copy of input 0 (rgbd) — its reported
+    # dims must equal the manifest's rgbd dims, proving the staged buffer
+    # round-tripped through the host's H2D/D2H path intact
+    manifest = open(os.path.join(out_dir, "manifest.txt")).read().splitlines()
+    rgbd_dims = [int(d) for d in manifest[1].split()[3].split(",")]
+    assert report["outputs"][0]["dims"] == rgbd_dims
+    assert report["outputs"][0]["checksum"] > 0
+
+
+def test_serve_host_errors_without_artifact():
+    _build_native()
+    r = subprocess.run(
+        [SERVE, "--plugin", FAKE, "--artifact", "/nonexistent"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 2
+    assert "manifest" in r.stderr
