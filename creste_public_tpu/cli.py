@@ -48,6 +48,7 @@ def train_from_config(cfg: Config) -> Any:
 
     batch = int(model_cfg.get("batch_size", 4))
     workers = int(tcfg.get("num_workers", 4))
+    worker_mode = str(tcfg.get("loader_worker_mode", "thread"))
     transform = None
     if ds_cfg.get("do_augmentation", False):
         from creste_public_tpu.data.augment import augment_sample
@@ -63,7 +64,7 @@ def train_from_config(cfg: Config) -> Any:
             name: EpochLoader(
                 build_dataset(Config(sub), "train"), batch, shuffle=True,
                 seed=int(tcfg.get("seed", 0)), transform=transform,
-                num_workers=workers,
+                num_workers=workers, worker_mode=worker_mode,
             )
             for name, sub in ds_cfg["tasks"].items()
         }
@@ -82,7 +83,8 @@ def train_from_config(cfg: Config) -> Any:
         val_ds = build_dataset(ds_cfg, "val")
         train_loader = EpochLoader(train_ds, batch, shuffle=True,
                                    seed=int(tcfg.get("seed", 0)),
-                                   transform=transform, num_workers=workers)
+                                   transform=transform, num_workers=workers,
+                                   worker_mode=worker_mode)
         val_loader = EpochLoader(val_ds, batch, shuffle=False,
                                  drop_last=False, num_workers=workers)
         if len(train_loader) == 0:

@@ -20,6 +20,28 @@ import numpy as np
 from creste_public_tpu.data.synthetic import SyntheticCodaDataset, collate
 
 
+# --- process-pool worker state (spawn: module re-imported per worker) ----
+_WORKER: dict = {}
+
+
+def _proc_init(dataset, transform, seed):
+    _WORKER["dataset"] = dataset
+    _WORKER["transform"] = transform
+    _WORKER["seed"] = seed
+
+
+def _proc_fetch(job):
+    """Fetch + (deterministically seeded) transform of one sample inside a
+    worker process — same rng derivation as the in-process fetch_one."""
+    epoch, j = job
+    s = _WORKER["dataset"][int(j)]
+    tf = _WORKER["transform"]
+    if tf is not None:
+        s = tf(s, np.random.default_rng(
+            (_WORKER["seed"] + epoch) * 1_000_003 + int(j)))
+    return s
+
+
 def build_dataset(ds_cfg: Any, split: str = "train"):
     """Dataset factory by config name: 'synthetic' | 'coda'."""
     name = ds_cfg.get("name", "synthetic")
@@ -47,7 +69,7 @@ class EpochLoader:
                  seed: int = 0, drop_last: bool = True, prefetch: int = 2,
                  collate_fn: Callable = collate,
                  transform: Callable | None = None,
-                 num_workers: int = 4):
+                 num_workers: int = 4, worker_mode: str = "thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -56,12 +78,44 @@ class EpochLoader:
         self.prefetch = prefetch
         self.collate = collate_fn
         self.transform = transform  # (sample, rng) -> sample (augmentation)
-        # Intra-batch sample fetch runs on a thread pool: the native
-        # libjpeg/libpng decode (data/native_io.py) and PIL both release the
-        # GIL, so N threads decode N samples concurrently — the in-process
-        # equivalent of the reference's num_workers DataLoader processes
-        # (dataloader.py:183-194) without fork/pickle overhead.
+        # Intra-batch sample fetch runs on a thread pool by default: the
+        # native libjpeg/libpng decode (data/native_io.py) and PIL both
+        # release the GIL, so N threads decode N samples concurrently — the
+        # in-process equivalent of the reference's num_workers DataLoader
+        # processes (dataloader.py:183-194) without fork/pickle overhead.
+        # worker_mode='process' instead fetches through a persistent spawn
+        # Pool (dataset + transform must pickle), the true equivalent of
+        # torch's worker processes — use it when the GIL-bound NumPy
+        # assembly share of __getitem__ dominates the decode share.
         self.num_workers = max(1, int(num_workers))
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode: {worker_mode!r}")
+        self.worker_mode = worker_mode
+        self._pool = None
+
+    def _process_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")  # matches reference spawn policy
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_proc_init,
+                initargs=(self.dataset, self.transform, self.seed),
+            )
+        return self._pool
+
+    def close(self) -> None:
+        """Terminate the persistent process pool (no-op in thread mode)."""
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):  # best-effort cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -105,6 +159,14 @@ class EpochLoader:
         # silently as a normal end-of-data.
         error: list[BaseException] = []
 
+        def fetch_batch(pool, idxs):
+            if self.worker_mode == "process":
+                return self._process_pool().map(
+                    _proc_fetch, [(epoch, j) for j in idxs])
+            if self.num_workers > 1:
+                return list(pool.map(fetch_one, idxs))
+            return [fetch_one(j) for j in idxs]
+
         def produce():
             from concurrent.futures import ThreadPoolExecutor
 
@@ -114,10 +176,7 @@ class EpochLoader:
                         if stop.is_set():
                             return
                         idxs = [int(j) for j in order[i : i + self.batch_size]]
-                        if self.num_workers > 1:
-                            samples = list(pool.map(fetch_one, idxs))
-                        else:
-                            samples = [fetch_one(j) for j in idxs]
+                        samples = fetch_batch(pool, idxs)
                         if not put(self.collate(samples)):
                             return
             except BaseException as e:  # noqa: BLE001 — re-raised below

@@ -78,6 +78,9 @@ def main():
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--workers", type=int, nargs="+", default=[1, 4, 8, 16])
+    ap.add_argument("--mode", default="thread",
+                    choices=["thread", "process"],
+                    help="EpochLoader worker_mode (process = persistent spawn pool\n                    for GIL-bound sample assembly)")
     ap.add_argument("--root", default=None,
                     help="existing CODa tree (default: synthesize one)")
     args = ap.parse_args()
@@ -100,14 +103,16 @@ def main():
                           "map_range": 12.8, "horizon": 10})
         for w in args.workers:
             loader = EpochLoader(ds, args.batch, shuffle=False,
-                                 num_workers=w, prefetch=2)
+                                 num_workers=w, prefetch=2,
+                                 worker_mode=args.mode)
             n = 0
             t0 = time.perf_counter()
             for batch in loader.epoch(0):
                 n += batch["image"].shape[0]
             dt = time.perf_counter() - t0
-            print(f"workers={w:3d}: {n / dt:8.1f} samples/s "
+            print(f"workers={w:3d} [{args.mode}]: {n / dt:8.1f} samples/s "
                   f"({n} samples in {dt:.2f}s)")
+            loader.close()
     finally:
         if tmp:
             shutil.rmtree(tmp, ignore_errors=True)

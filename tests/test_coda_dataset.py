@@ -217,3 +217,34 @@ def test_epoch_loader_propagates_producer_errors():
     with pytest.raises(ValueError, match="corrupt sample"):
         for _ in loader.epoch(0):
             pass
+
+
+def test_epoch_loader_process_mode_matches_thread_mode():
+    """worker_mode='process' (persistent spawn pool — the torch DataLoader
+    worker equivalent for GIL-bound __getitem__ bodies) yields bit-identical
+    batches to the in-process thread mode, including the deterministic
+    per-sample transform rng."""
+    from creste_public_tpu.data.augment import augment_sample
+    from creste_public_tpu.data.dataloader import EpochLoader
+    from creste_public_tpu.data.synthetic import SyntheticCodaDataset
+
+    cfg = {"image_size": [64, 80], "grid": 32, "map_range": 1.6,
+           "fdn_dim": 16, "length": 6}
+    kw = dict(batch_size=2, shuffle=True, seed=3, transform=augment_sample,
+              num_workers=2)
+    thread = EpochLoader(SyntheticCodaDataset(cfg=cfg), **kw)
+    proc = EpochLoader(SyntheticCodaDataset(cfg=cfg), **kw,
+                       worker_mode="process")
+    try:
+        a = list(thread.epoch(1))
+        b = list(proc.epoch(1))
+        assert len(a) == len(b) == 3
+        for ba, bb in zip(a, b):
+            assert set(ba) == set(bb)
+            for k in ba:
+                np.testing.assert_equal(ba[k], bb[k], err_msg=k)
+        # the pool is persistent: a second epoch reuses it
+        assert sum(1 for _ in proc.epoch(2)) == 3
+    finally:
+        proc.close()
+    assert proc._pool is None
