@@ -151,8 +151,11 @@ def test_effnet_remat_grad_equivalence():
             m.apply({"params": p, "batch_stats": v["batch_stats"]}, x, False)[0] ** 2
         )
 
-    l1, g1 = jax.value_and_grad(loss(m1))(v["params"])
-    l2, g2 = jax.value_and_grad(loss(m2))(v["params"])
+    # jit the double fwd+bwd: eager per-op dispatch of the unrolled trunk
+    # costs ~60s on 1 CPU, and the jitted graphs land in the persistent
+    # compile cache for warm reruns
+    l1, g1 = jax.jit(jax.value_and_grad(loss(m1)))(v["params"])
+    l2, g2 = jax.jit(jax.value_and_grad(loss(m2)))(v["params"])
     assert abs(float(l1) - float(l2)) < 1e-5
     d = max(
         float(jnp.abs(a - b).max())

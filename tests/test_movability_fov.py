@@ -136,10 +136,16 @@ def test_movability_double_forward_trains():
         {"params": jax.random.PRNGKey(0)}, jnp.asarray(rgbd),
         jnp.asarray(p2p), jnp.asarray(mv), True)
 
-    out, _ = model.apply(
-        variables, jnp.asarray(rgbd), jnp.asarray(p2p), jnp.asarray(mv),
-        True, mutable=["batch_stats"],
-        rngs={"dropout": jax.random.PRNGKey(1)})
+    # jitted fwd + grad: eager dispatch of the double-forward graph costs
+    # ~1 min on 1 CPU; jitted graphs hit the persistent compile cache
+    @jax.jit
+    def fwd(variables):
+        return model.apply(
+            variables, jnp.asarray(rgbd), jnp.asarray(p2p),
+            jnp.asarray(mv), True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)})
+
+    out, _ = fwd(variables)
     assert "bev_features" in out and "bev_features_mv" in out
     assert "inpainting_sam_preds" in out and "inpainting_sam_mv_preds" in out
     # the mv mask removes points -> strictly less density mass
@@ -155,7 +161,7 @@ def test_movability_double_forward_trains():
         return jnp.mean(o["inpainting_sam_mv_preds"] ** 2) + jnp.mean(
             o["elevation_preds"] ** 2)
 
-    g = jax.grad(loss_fn)(variables["params"])
+    g = jax.jit(jax.grad(loss_fn))(variables["params"])
     gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
 
