@@ -78,19 +78,30 @@ def main() -> None:
     except Exception as e:  # cost_analysis unavailable on some backends
         line["cost_analysis_error"] = str(e)[:120]
 
+    def variant(name, body):
+        # a variant failure (e.g. a Pallas compile issue on new hardware)
+        # must not lose the headline measurement
+        try:
+            body()
+        except Exception as e:
+            line[f"{name}_error"] = str(e)[:160]
+
     if args.fused:
         from creste_public_tpu.runtime.precision import max_abs_deviation
 
-        fnf, _ = entry(fused_reward=True, variables=variables)
-        per_f, _ = serialized_latency(
-            fnf, variables, rgbd, p2p, "traversability_preds"
-        )
-        out_f32 = jax.jit(fn)(variables, rgbd, p2p)
-        out_fused = jax.jit(fnf)(variables, rgbd, p2p)
-        line["fused_hz"] = round(1.0 / per_f, 2)
-        line["fused_reward_max_dev"] = round(max_abs_deviation(
-            out_f32["traversability_preds"],
-            out_fused["traversability_preds"]), 8)
+        def run_fused():
+            fnf, _ = entry(fused_reward=True, variables=variables)
+            per_f, _ = serialized_latency(
+                fnf, variables, rgbd, p2p, "traversability_preds"
+            )
+            out_f32 = jax.jit(fn)(variables, rgbd, p2p)
+            out_fused = jax.jit(fnf)(variables, rgbd, p2p)
+            line["fused_hz"] = round(1.0 / per_f, 2)
+            line["fused_reward_max_dev"] = round(max_abs_deviation(
+                out_f32["traversability_preds"],
+                out_fused["traversability_preds"]), 8)
+
+        variant("fused", run_fused)
 
     if args.bf16:
         from creste_public_tpu.runtime.precision import (
@@ -99,54 +110,59 @@ def main() -> None:
         )
 
         out_f32 = jax.jit(fn)(variables, rgbd, p2p)
-        # mixed-precision graph: bf16 activation stream + bf16 weights,
-        # f32 geometry islands (stem/BN/depth-head/splat accumulator)
-        fn16, _ = entry(compute_dtype="bfloat16", variables=variables)
         vb = cast_variables(variables)
-        per_bf16, _ = serialized_latency(
-            fn16, vb, rgbd, p2p, "traversability_preds"
-        )
-        out_bf16 = jax.jit(fn16)(vb, rgbd, p2p)
-        dev = max_abs_deviation(out_f32["traversability_preds"],
-                                out_bf16["traversability_preds"])
-        line["bf16_hz"] = round(1.0 / per_bf16, 2)
-        line["bf16_reward_max_dev"] = round(dev, 6)
-        try:
+
+        def run_bf16():
+            # mixed-precision graph: bf16 activation stream + bf16 weights,
+            # f32 geometry islands (stem/BN/depth-head/splat accumulator)
+            fn16, _ = entry(compute_dtype="bfloat16", variables=variables)
+            per_bf16, _ = serialized_latency(
+                fn16, vb, rgbd, p2p, "traversability_preds"
+            )
+            out_bf16 = jax.jit(fn16)(vb, rgbd, p2p)
+            dev = max_abs_deviation(out_f32["traversability_preds"],
+                                    out_bf16["traversability_preds"])
+            line["bf16_hz"] = round(1.0 / per_bf16, 2)
+            line["bf16_reward_max_dev"] = round(dev, 6)
             cs16 = cost_stats(fn16, vb, rgbd, p2p)
             line.update({f"bf16_{k}": v for k, v in mfu_fields(
                 cs16["flops"], cs16["bytes"], per_bf16).items()})
-        except Exception as e:
-            line["bf16_cost_analysis_error"] = str(e)[:120]
+
+        variant("bf16", run_bf16)
 
     if args.batch and args.batch > 1:
-        fnB, (_, rgbdB, p2pB) = entry(variables=variables, batch=args.batch)
-        per_step, _ = serialized_latency(
-            fnB, variables, rgbdB, p2pB, "traversability_preds"
-        )
-        line["batch"] = args.batch
-        line["batch_fps"] = round(args.batch / per_step, 2)
-        try:
+        def run_batch():
+            fnB, (_, rgbdB, p2pB) = entry(variables=variables,
+                                          batch=args.batch)
+            per_step, _ = serialized_latency(
+                fnB, variables, rgbdB, p2pB, "traversability_preds"
+            )
+            line["batch"] = args.batch
+            line["batch_fps"] = round(args.batch / per_step, 2)
             csb = cost_stats(fnB, variables, rgbdB, p2pB)
             line.update({f"batch_{k}": v for k, v in mfu_fields(
                 csb["flops"], csb["bytes"], per_step).items()})
-        except Exception as e:
-            line["batch_cost_analysis_error"] = str(e)[:120]
+
+        variant("batch", run_batch)
 
     if args.bf16 and args.fused:
-        # combined opt-in deployment mode: bf16 activation stream on the
-        # bandwidth-bound backbone + fused Pallas reward head on the
-        # launch-bound tail (the fold upcasts its params to f32, so the
-        # head stays an f32 island regardless of the cast weight tree)
-        fnb, _ = entry(compute_dtype="bfloat16", fused_reward=True,
-                       variables=variables)
-        per_b, _ = serialized_latency(
-            fnb, vb, rgbd, p2p, "traversability_preds"
-        )
-        out_b = jax.jit(fnb)(vb, rgbd, p2p)
-        line["bf16_fused_hz"] = round(1.0 / per_b, 2)
-        line["bf16_fused_reward_max_dev"] = round(max_abs_deviation(
-            out_f32["traversability_preds"],
-            out_b["traversability_preds"]), 6)
+        def run_bf16_fused():
+            # combined opt-in deployment mode: bf16 activation stream on
+            # the bandwidth-bound backbone + fused Pallas reward head on
+            # the launch-bound tail (the fold upcasts its params to f32,
+            # so the head stays an f32 island under the cast weight tree)
+            fnb, _ = entry(compute_dtype="bfloat16", fused_reward=True,
+                           variables=variables)
+            per_b, _ = serialized_latency(
+                fnb, vb, rgbd, p2p, "traversability_preds"
+            )
+            out_b = jax.jit(fnb)(vb, rgbd, p2p)
+            line["bf16_fused_hz"] = round(1.0 / per_b, 2)
+            line["bf16_fused_reward_max_dev"] = round(max_abs_deviation(
+                out_f32["traversability_preds"],
+                out_b["traversability_preds"]), 6)
+
+        variant("bf16_fused", run_bf16_fused)
 
     print(json.dumps(line))
 
