@@ -12,6 +12,11 @@
 // Usage:
 //   creste_serve --plugin libaxon_pjrt.so --artifact DIR
 //                [--iters 30] [--warmup 3] [--distinct 8]
+//                [--in rgbd=frame.bin,p2p=p2p.bin] [--dump DIR]
+//
+// --in feeds real raw-tensor files (row-major, manifest dtype/shape) in
+// place of synthetic fill — the robot-integration path; --dump writes
+// each output's raw bytes to DIR/<name>.bin after the final iteration.
 //
 // DIR holds module.mlirbc (StableHLO bytecode) and manifest.txt:
 //   format mlir
@@ -149,6 +154,8 @@ void FillHost(std::vector<uint8_t>& buf, PJRT_Buffer_Type t, uint64_t seed) {
 int main(int argc, char** argv) {
   const char* plugin = "/opt/axon/libaxon_pjrt.so";
   const char* artifact = nullptr;
+  const char* in_spec = nullptr;
+  const char* dump_dir = nullptr;
   int iters = 30, warmup = 3, distinct = 8;
   for (int i = 1; i < argc; ++i) {
     if (!strcmp(argv[i], "--plugin") && i + 1 < argc) plugin = argv[++i];
@@ -160,10 +167,14 @@ int main(int argc, char** argv) {
       warmup = atoi(argv[++i]);
     else if (!strcmp(argv[i], "--distinct") && i + 1 < argc)
       distinct = atoi(argv[++i]);
+    else if (!strcmp(argv[i], "--in") && i + 1 < argc) in_spec = argv[++i];
+    else if (!strcmp(argv[i], "--dump") && i + 1 < argc)
+      dump_dir = argv[++i];
     else {
       fprintf(stderr,
               "usage: creste_serve --plugin SO --artifact DIR "
-              "[--iters N] [--warmup N] [--distinct N]\n");
+              "[--iters N] [--warmup N] [--distinct N] "
+              "[--in name=file,...] [--dump DIR]\n");
       return 2;
     }
   }
@@ -293,6 +304,44 @@ int main(int argc, char** argv) {
     fprintf(stderr, "warning: manifest lists %zu outputs, module has %zu\n",
             outputs.size(), num_outputs);
 
+  // ---- optional real input files (--in name=file,...) ----
+  std::vector<std::vector<uint8_t>> real(inputs.size());
+  if (in_spec) {
+    std::istringstream ss(in_spec);
+    std::string item;
+    while (std::getline(ss, item, ',')) {
+      size_t eq = item.find('=');
+      if (eq == std::string::npos) {
+        fprintf(stderr, "--in expects name=file, got %s\n", item.c_str());
+        return 2;
+      }
+      std::string name = item.substr(0, eq), path = item.substr(eq + 1);
+      size_t idx = inputs.size();
+      for (size_t i = 0; i < inputs.size(); ++i)
+        if (inputs[i].name == name) idx = i;
+      if (idx == inputs.size()) {
+        fprintf(stderr, "--in: no input named %s in manifest\n",
+                name.c_str());
+        return 2;
+      }
+      std::ifstream f(path, std::ios::binary);
+      if (!f) {
+        fprintf(stderr, "cannot read %s\n", path.c_str());
+        return 2;
+      }
+      real[idx].assign(std::istreambuf_iterator<char>(f),
+                       std::istreambuf_iterator<char>());
+      size_t want =
+          NumElems(inputs[idx]) * ByteWidth(TypeOf(inputs[idx].dtype));
+      if (real[idx].size() != want) {
+        fprintf(stderr, "%s: %zu bytes, manifest expects %zu\n",
+                path.c_str(), real[idx].size(), want);
+        return 2;
+      }
+    }
+    distinct = 1;  // real inputs: one set, no synthetic variation
+  }
+
   // ---- input staging: `distinct` full sets of device buffers ----
   size_t num_args = inputs.size();
   std::vector<std::vector<PJRT_Buffer*>> sets(distinct);
@@ -301,7 +350,10 @@ int main(int argc, char** argv) {
       const TensorSpec& t = inputs[i];
       PJRT_Buffer_Type ty = TypeOf(t.dtype);
       std::vector<uint8_t> host(NumElems(t) * ByteWidth(ty));
-      FillHost(host, ty, s * 1315423911u + i + 1);
+      if (!real[i].empty())
+        host = real[i];
+      else
+        FillHost(host, ty, s * 1315423911u + i + 1);
       PJRT_Client_BufferFromHostBuffer_Args b;
       memset(&b, 0, sizeof(b));
       b.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
@@ -393,6 +445,14 @@ int main(int argc, char** argv) {
     AwaitAndDestroy(th.event, "d2h");
     uint64_t sum = 0;
     for (uint8_t v : host) sum = sum * 131 + v;
+    if (dump_dir) {
+      const char* nm0 = o < outputs.size() ? outputs[o].name.c_str() : "out";
+      std::string path =
+          std::string(dump_dir) + "/" + nm0 + "_" + std::to_string(o) +
+          ".bin";
+      std::ofstream df(path, std::ios::binary);
+      df.write(reinterpret_cast<const char*>(host.data()), host.size());
+    }
     char buf[256];
     std::string dims;
     for (size_t k = 0; k < dd.num_dims; ++k)

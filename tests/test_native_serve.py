@@ -111,3 +111,36 @@ def test_serve_host_errors_without_artifact():
     )
     assert r.returncode == 2
     assert "manifest" in r.stderr
+
+
+def test_serve_host_real_inputs_and_dump(artifact, tmp_path):
+    """--in feeds raw tensor files; --dump writes raw outputs. With the
+    echo plugin, output 0 must be a byte-exact copy of the rgbd input —
+    the full real-frame path a robot integration uses."""
+    out_dir, info = artifact
+    _build_native()
+    manifest = open(os.path.join(out_dir, "manifest.txt")).read().splitlines()
+    rgbd_dims = [int(d) for d in manifest[1].split()[3].split(",")]
+    p2p_dims = [int(d) for d in manifest[2].split()[3].split(",")]
+    rgbd = (np.arange(np.prod(rgbd_dims), dtype=np.float32) / 1e4).reshape(
+        rgbd_dims)
+    p2p = np.zeros(p2p_dims, np.float32)
+    rgbd.tofile(tmp_path / "rgbd.bin")
+    p2p.tofile(tmp_path / "p2p.bin")
+    dump = tmp_path / "out"
+    dump.mkdir()
+    env = dict(os.environ)
+    env["FAKE_PJRT_NUM_OUTPUTS"] = str(info["num_outputs"])
+    r = subprocess.run(
+        [SERVE, "--plugin", FAKE, "--artifact", out_dir,
+         "--iters", "2", "--warmup", "1",
+         "--in", f"rgbd={tmp_path}/rgbd.bin,p2p={tmp_path}/p2p.bin",
+         "--dump", str(dump)],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["distinct"] == 1  # real inputs: no synthetic variation
+    name = report["outputs"][0]["name"]
+    got = np.fromfile(dump / f"{name}_0.bin", dtype=np.float32)
+    np.testing.assert_array_equal(got, rgbd.ravel())
