@@ -40,10 +40,12 @@ def main() -> None:
                     help="also benchmark bfloat16-cast weights and report "
                          "the reward-map deviation vs f32 (opt-in: not "
                          "parity-compatible)")
-    ap.add_argument("--fused", action="store_true",
+    ap.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="also benchmark the fused Pallas reward head "
                          "(parity-safe: BN-fold + reassociation only; "
-                         "reports the measured deviation)")
+                         "reports the measured deviation; on by default — "
+                         "a failure is recorded, never fatal)")
     ap.add_argument("--batch", type=int, default=0,
                     help="also measure offline/serving throughput at "
                          "batch N (frames/s; amortises per-launch "
