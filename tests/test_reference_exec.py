@@ -244,6 +244,21 @@ def test_reference_value_iteration():
         np.asarray(q_j).transpose(0, 3, 1, 2), t2n(q_ref), rtol=1e-5, atol=1e-4
     )
 
+    # the TPU Pallas kernel (interpret mode) directly vs the reference's
+    # own loop — its per-batch-element convergence test stops each element
+    # at its own delta<threshold, so the bound is the residual tail
+    # movement (<= threshold*gamma/(1-gamma) in the worst case, far
+    # tighter in practice on bounded rewards)
+    v_p, pol_p, q_p = value_iteration(
+        r_j, discount=0.99, threshold=1e-3, backend="pallas"
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_p)[..., 0], t2n(v_ref)[:, 0], rtol=1e-4, atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(pol_p).transpose(0, 3, 1, 2), t2n(pol_ref), atol=2e-4
+    )
+
 
 # ---------------------------------------------------------------------------
 # splat_soft (splat_projection.py:262-354)
