@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--fused", action="store_true",
+                    help="serve the fused Pallas reward-head graph "
+                         "(parity-safe BN-fold; TPU)")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +59,7 @@ def main():
         variables = {"params": raw.get("params", raw),
                      "batch_stats": raw.get("batch_stats", {})}
 
-    engine = InferenceEngine(cfg, variables)
+    engine = InferenceEngine(cfg, variables, fused_reward=args.fused)
     stats = engine.latency_stats(rgbd0, p2p0, iters=10)
     print(f"warm: {stats['hz']:.1f} Hz p50 on {jax.devices()[0]}")
 
