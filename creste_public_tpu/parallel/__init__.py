@@ -20,9 +20,15 @@ all-reduce plus a differentiable all_gather inside the contrastive loss
 """
 from creste_public_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
+    SPATIAL_AXIS,
     make_mesh,
+    make_spatial_mesh,
     replicate,
     shard_batch,
+    spatial_inference_shardings,
 )
 
-__all__ = ["DATA_AXIS", "make_mesh", "replicate", "shard_batch"]
+__all__ = [
+    "DATA_AXIS", "SPATIAL_AXIS", "make_mesh", "make_spatial_mesh",
+    "replicate", "shard_batch", "spatial_inference_shardings",
+]
