@@ -88,6 +88,13 @@ def main() -> None:
         except Exception as e:
             line[f"{name}_error"] = str(e)[:160]
 
+    # one f32 reference output, compiled once, shared by every variant's
+    # deviation check (each jax.jit(fn) wrapper would recompile the full
+    # production graph — minutes over the tunnel)
+    out_f32 = None
+    if args.fused or args.bf16:
+        out_f32 = jax.jit(fn)(variables, rgbd, p2p)
+
     if args.fused:
         from creste_public_tpu.runtime.precision import max_abs_deviation
 
@@ -96,7 +103,6 @@ def main() -> None:
             per_f, _ = serialized_latency(
                 fnf, variables, rgbd, p2p, "traversability_preds"
             )
-            out_f32 = jax.jit(fn)(variables, rgbd, p2p)
             out_fused = jax.jit(fnf)(variables, rgbd, p2p)
             line["fused_hz"] = round(1.0 / per_f, 2)
             line["fused_reward_max_dev"] = round(max_abs_deviation(
@@ -111,7 +117,6 @@ def main() -> None:
             max_abs_deviation,
         )
 
-        out_f32 = jax.jit(fn)(variables, rgbd, p2p)
         vb = cast_variables(variables)
 
         def run_bf16():
@@ -132,6 +137,8 @@ def main() -> None:
 
         variant("bf16", run_bf16)
 
+    if args.batch == 1:
+        ap.error("--batch must be >= 2 (B=1 IS the headline measurement)")
     if args.batch and args.batch > 1:
         def run_batch():
             fnB, (_, rgbdB, p2pB) = entry(variables=variables,

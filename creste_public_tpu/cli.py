@@ -74,6 +74,7 @@ def train_from_config(cfg: Config) -> Any:
         val_loader = EpochLoader(
             build_dataset(Config(ds_cfg["tasks"][first_task]), "val"),
             batch, shuffle=False, drop_last=False, num_workers=workers,
+            worker_mode=worker_mode,
         )
         tcfg["steps_per_epoch"] = max(
             max(len(l) for l in loaders.values()) * len(loaders), 1
@@ -86,7 +87,8 @@ def train_from_config(cfg: Config) -> Any:
                                    transform=transform, num_workers=workers,
                                    worker_mode=worker_mode)
         val_loader = EpochLoader(val_ds, batch, shuffle=False,
-                                 drop_last=False, num_workers=workers)
+                                 drop_last=False, num_workers=workers,
+                                 worker_mode=worker_mode)
         if len(train_loader) == 0:
             raise ValueError(
                 f"train loader yields no batches: batch_size={batch} > "

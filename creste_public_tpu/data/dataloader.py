@@ -20,6 +20,12 @@ import numpy as np
 from creste_public_tpu.data.synthetic import SyntheticCodaDataset, collate
 
 
+def _sample_rng(seed: int, epoch: int, j: int) -> np.random.Generator:
+    """Deterministic per-sample augmentation rng — the ONE derivation both
+    worker modes use (bit-identical batches across modes depend on it)."""
+    return np.random.default_rng((seed + epoch) * 1_000_003 + int(j))
+
+
 # --- process-pool worker state (spawn: module re-imported per worker) ----
 _WORKER: dict = {}
 
@@ -31,14 +37,12 @@ def _proc_init(dataset, transform, seed):
 
 
 def _proc_fetch(job):
-    """Fetch + (deterministically seeded) transform of one sample inside a
-    worker process — same rng derivation as the in-process fetch_one."""
+    """Fetch + transform of one sample inside a worker process."""
     epoch, j = job
     s = _WORKER["dataset"][int(j)]
     tf = _WORKER["transform"]
     if tf is not None:
-        s = tf(s, np.random.default_rng(
-            (_WORKER["seed"] + epoch) * 1_000_003 + int(j)))
+        s = tf(s, _sample_rng(_WORKER["seed"], epoch, j))
     return s
 
 
@@ -134,12 +138,7 @@ class EpochLoader:
         def fetch_one(j: int) -> dict:
             s = self.dataset[int(j)]
             if self.transform is not None:
-                s = self.transform(
-                    s,
-                    np.random.default_rng(
-                        (self.seed + epoch) * 1_000_003 + int(j)
-                    ),
-                )
+                s = self.transform(s, _sample_rng(self.seed, epoch, j))
             return s
 
         def put(item) -> bool:

@@ -50,6 +50,10 @@ def make_spatial_mesh(num_devices: int | None = None, devices=None) -> Mesh:
     """
     devs = list(devices) if devices is not None else jax.devices()
     n = num_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"spatial mesh needs {n} devices, have {len(devs)} — a silent "
+            "truncation would misreport the latency-scaling factor")
     return Mesh(np.array(devs[:n]), (SPATIAL_AXIS,))
 
 

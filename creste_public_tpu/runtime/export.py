@@ -21,7 +21,8 @@ import numpy as np
 
 
 def build_inference_fn(
-    cfg: Any, variables: Any, fused_reward: bool = False
+    cfg: Any, variables: Any, fused_reward: bool = False,
+    platform: str | None = None,
 ) -> tuple[Callable, Any]:
     """Returns (fn(variables, rgbd, p2p) -> outputs, jitted fn).
 
@@ -30,6 +31,10 @@ def build_inference_fn(
     kernels in ops/reward_pallas.py: same backbone, same input-view
     construction (models.blocks.vin.build_input_view is shared), BNs folded
     — inference-only, numerics match the flax head to float reassociation.
+    ``platform`` is the TARGET platform the graph will run on (cross-
+    platform export); it controls whether the fused kernel lowers as a
+    real Mosaic call ('tpu') or through the pallas interpreter. Default:
+    the current backend.
     """
     from creste_public_tpu.models.lfd import MaxEntIRL
 
@@ -70,8 +75,8 @@ def build_inference_fn(
             "batch_stats": variables.get("batch_stats", {}).get(
                 "traversability_head", {}).get("r", {}),
         }
-        r = msfcn_fused_apply(
-            rvars, iv, interpret=jax.default_backend() != "tpu")
+        target = platform or jax.default_backend()
+        r = msfcn_fused_apply(rvars, iv, interpret=target != "tpu")
         # full-size upsampled reward, matching VIN.__call__ (vin.py:121-125)
         k0 = input_keys[0]
         Ho, Wo = outputs[k0].shape[1], outputs[k0].shape[2]
@@ -144,7 +149,8 @@ def export_native_artifacts(
     from jax import export as jexport
     from jax.tree_util import keystr, tree_flatten_with_path
 
-    fn, _ = build_inference_fn(cfg, variables, fused_reward=fused_reward)
+    fn, _ = build_inference_fn(cfg, variables, fused_reward=fused_reward,
+                               platform=platform)
 
     def closed(rgbd, p2p):
         out = fn(variables, rgbd, p2p)

@@ -407,14 +407,26 @@ int main(int argc, char** argv) {
     }
   };
 
+  // Warmup reuses set 0 (its job is compilation/cache fill). A memoizing
+  // tunnel runtime replays (program, args) pairs, so honest timed
+  // iterations must each use a NOT-yet-executed input set: clamp to the
+  // distinct sets never touched by warmup. Host-attached chips have no
+  // memoization; raise --distinct (or feed --in) for long runs there.
   for (int i = 0; i < warmup; ++i) {
-    run_once(i % distinct);
+    run_once(0);
     destroy_outs();
   }
   int timed = iters;
+  if (!in_spec && timed > distinct - 1) {
+    timed = distinct > 1 ? distinct - 1 : 1;
+    fprintf(stderr,
+            "clamping timed iters %d -> %d (distinct un-executed input "
+            "sets; raise --distinct for more)\n",
+            iters, timed);
+  }
   auto t1 = std::chrono::steady_clock::now();
   for (int i = 0; i < timed; ++i) {
-    run_once(i % distinct);
+    run_once(distinct > 1 ? 1 + i % (distinct - 1) : 0);
     if (i + 1 < timed) destroy_outs();
   }
   double total_s =

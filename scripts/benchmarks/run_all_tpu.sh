@@ -16,9 +16,12 @@ run() {
   echo "--- $name exit=$? @ $(date -u +%H:%M:%S)" | tee -a "$OUT"
 }
 
-# 1. headline + all opt-in variants + batched throughput (one process:
-#    shares the expensive production-shape init + tunnel warmup)
-run headline_variants 3600 python bench.py --fused --bf16 --batch 8
+# 1. headline + fused (bench defaults) — keep this invocation smallest so
+#    a tunnel stall can't cost the headline; variants go in their own
+#    timeout-bounded processes (each prints its own JSON line)
+run headline 3600 python bench.py
+run variants_bf16 3600 python bench.py --bf16
+run variants_batch 2400 python bench.py --no-fused --batch 8
 
 # 2. fused reward head micro-benchmark (flax vs pallas on-chip)
 run reward_head 1800 python scripts/benchmarks/reward_head_bench.py
