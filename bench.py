@@ -55,6 +55,9 @@ def main() -> None:
     import jax
 
     from __graft_entry__ import entry
+    from creste_public_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     fn, (variables, rgbd, p2p) = entry()
     per_frame, single_call = serialized_latency(

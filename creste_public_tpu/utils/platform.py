@@ -22,3 +22,27 @@ def ensure_env_platform() -> None:
             jax.config.update("jax_platforms", env)
     except RuntimeError:
         pass
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> None:
+    """Persistent compilation cache for benchmark/CLI processes.
+
+    First compiles of the production graph over the axon tunnel take
+    minutes per process; with the cache, repeat runs (e.g. the driver's
+    round-end bench after a measurement session) skip them. Harmless
+    no-op on backends that cannot serialize executables — JAX just
+    bypasses the cache. CRESTE_COMPILE_CACHE=0 disables.
+    """
+    if os.environ.get("CRESTE_COMPILE_CACHE", "1") == "0":
+        return
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_tpu_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass

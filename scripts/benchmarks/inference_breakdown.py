@@ -43,6 +43,10 @@ def main():
 
     ensure_env_platform()
 
+    from creste_public_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
 
     from __graft_entry__ import _example_inputs, entry

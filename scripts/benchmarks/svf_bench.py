@@ -27,6 +27,10 @@ def main():
 
     ensure_env_platform()
 
+    from creste_public_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -33,6 +33,10 @@ def main():
 
     ensure_env_platform()
 
+    from creste_public_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
 
     from creste_public_tpu.config import presets
