@@ -51,6 +51,10 @@ def main() -> None:
                          "batch N (frames/s; amortises per-launch "
                          "overheads the single-frame latency path pays)")
     args = ap.parse_args()
+    if args.batch == 1:
+        # validate BEFORE any measurement so a bad flag can't discard a
+        # session's worth of tunnel compiles
+        ap.error("--batch must be >= 2 (B=1 IS the headline measurement)")
 
     import jax
 
@@ -140,8 +144,6 @@ def main() -> None:
 
         variant("bf16", run_bf16)
 
-    if args.batch == 1:
-        ap.error("--batch must be >= 2 (B=1 IS the headline measurement)")
     if args.batch and args.batch > 1:
         def run_batch():
             fnB, (_, rgbdB, p2pB) = entry(variables=variables,

@@ -51,7 +51,7 @@ async function load(){
 async function save(){
  const order=[...ranks.children].map(li=>+li.dataset.i);
  await fetch('/save',{method:'POST',headers:{'Content-Type':'application/json'},
-  body:JSON.stringify({seq:seq.value,frame:frame.value,rank:order,
+  body:JSON.stringify({seq:seq.value,frame:frame.value,order:order,
    trajectories:data.trajectories})});
  alert('saved');
 }
@@ -135,18 +135,22 @@ class AnnotationBackend:
         out_dir = os.path.join(self.root, "counterfactuals", seq)
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"{frame}.pkl")
-        # The frontend posts the drag ORDER (order[pos] = trajectory
-        # index); the training contract (reference app.py:201-225 and
-        # MaxEntIRLLoss/TREXLoss) wants per-trajectory rank VALUES
-        # (rank[i] = rank of trajectory i, 0 = best) — invert when the
-        # payload is a permutation, pass through otherwise.
-        raw = [int(r) for r in payload["rank"]]
-        if sorted(raw) == list(range(len(raw))):
+        # Explicit contract (a permutation heuristic would corrupt honest
+        # rank payloads, which are also permutations): `order` is the drag
+        # ORDER (order[pos] = trajectory index; the built-in frontend
+        # posts this) and is inverted to per-trajectory rank VALUES
+        # (rank[i] = rank of trajectory i, 0 = best — reference
+        # app.py:201-225; MaxEntIRLLoss/TREXLoss treat rank element-wise);
+        # `rank` is already rank values and stored verbatim.
+        if "order" in payload:
+            raw = [int(r) for r in payload["order"]]
+            if sorted(raw) != list(range(len(raw))):
+                raise ValueError(f"order must be a permutation, got {raw}")
             rank = [0] * len(raw)
             for pos, traj_idx in enumerate(raw):
                 rank[traj_idx] = pos
         else:
-            rank = raw
+            rank = [int(r) for r in payload["rank"]]
         record = {
             "trajectories": [np.asarray(t) for t in payload["trajectories"]],
             "rank": rank,

@@ -167,10 +167,18 @@ class EpochLoader:
             return [fetch_one(j) for j in idxs]
 
         def produce():
-            from concurrent.futures import ThreadPoolExecutor
+            from contextlib import nullcontext
 
+            use_threads = (self.worker_mode == "thread"
+                           and self.num_workers > 1)
+            if use_threads:
+                from concurrent.futures import ThreadPoolExecutor
+
+                cm = ThreadPoolExecutor(self.num_workers)
+            else:
+                cm = nullcontext()
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                with cm as pool:
                     for i in range(0, end, self.batch_size):
                         if stop.is_set():
                             return

@@ -424,6 +424,14 @@ int main(int argc, char** argv) {
             "sets; raise --distinct for more)\n",
             iters, timed);
   }
+  if (in_spec && timed > 1) {
+    fprintf(stderr,
+            "warning: timing %d iterations over ONE real input set — on a "
+            "memoizing tunnel runtime repeats are cache hits, not "
+            "compute; trust these numbers only on a host-attached "
+            "device\n",
+            timed);
+  }
   auto t1 = std::chrono::steady_clock::now();
   for (int i = 0; i < timed; ++i) {
     run_once(distinct > 1 ? 1 + i % (distinct - 1) : 0);

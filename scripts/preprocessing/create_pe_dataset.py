@@ -70,7 +70,12 @@ def main():
         os.makedirs(os.path.dirname(rp), exist_ok=True)
         np.save(rp, f)
         flat = f.reshape(-1, f.shape[-1])
-        rng = np.random.default_rng(hash((seq, p)) & 0xFFFFFFFF)
+        # stable digest, NOT hash(): str hashing is salted per interpreter
+        # (PYTHONHASHSEED), which would make the PCA basis — and every
+        # written feature map — irreproducible across runs
+        import zlib
+
+        rng = np.random.default_rng(zlib.crc32(f"{seq}/{p}".encode()))
         take = min(per_frame, len(flat))
         return flat[rng.choice(len(flat), take, replace=False)]
 

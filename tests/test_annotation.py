@@ -111,10 +111,15 @@ def test_http_contract(coda_root):
 
 
 def test_save_inverts_drag_order_to_per_trajectory_ranks(tmp_path):
-    """The frontend posts the drag ORDER (order[pos] = trajectory index);
-    the stored pickle must carry per-trajectory rank VALUES (reference
-    app.py:201-225; MaxEntIRLLoss/TREXLoss treat rank[i] element-wise)."""
+    """The built-in frontend posts the drag ORDER under the explicit
+    `order` key (order[pos] = trajectory index); the stored pickle must
+    carry per-trajectory rank VALUES (reference app.py:201-225;
+    MaxEntIRLLoss/TREXLoss treat rank[i] element-wise). A `rank` payload
+    is already rank values and is stored verbatim — even when it happens
+    to be a permutation (the old heuristic corrupted that case)."""
     import pickle
+
+    import pytest
 
     from creste_public_tpu.annotation.app import AnnotationBackend
 
@@ -122,17 +127,27 @@ def test_save_inverts_drag_order_to_per_trajectory_ranks(tmp_path):
     path = b.save({
         "seq": "0", "frame": 7,
         "trajectories": [[[0, 0]], [[1, 1]], [[2, 2]], [[3, 3]]],
-        "rank": [3, 0, 1, 2],  # trajectory 3 dragged to the top
+        "order": [3, 0, 1, 2],  # trajectory 3 dragged to the top
     })
     rec = pickle.load(open(path, "rb"))
     assert rec["rank"] == [1, 2, 3, 0]  # rank OF trajectory i
-    # non-permutation payloads (reference-style 0/1 labels) pass through
+    # rank payloads pass through verbatim — including permutations
     path = b.save({
         "seq": "0", "frame": 8,
+        "trajectories": [[[0, 0]], [[1, 1]], [[2, 2]]],
+        "rank": [1, 2, 0],
+    })
+    assert pickle.load(open(path, "rb"))["rank"] == [1, 2, 0]
+    path = b.save({
+        "seq": "0", "frame": 9,
         "trajectories": [[[0, 0]], [[1, 1]], [[2, 2]]],
         "rank": [0, 1, 1],
     })
     assert pickle.load(open(path, "rb"))["rank"] == [0, 1, 1]
+    # a non-permutation order is a client bug, not data to guess at
+    with pytest.raises(ValueError, match="permutation"):
+        b.save({"seq": "0", "frame": 10,
+                "trajectories": [[[0, 0]], [[1, 1]]], "order": [0, 0]})
 
 
 def test_epsilon_sampler_fills_odd_counts():
