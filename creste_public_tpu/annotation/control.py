@@ -88,14 +88,16 @@ def hausdorff_distances(
     trajectories: np.ndarray, expert_idx: int = 0
 ) -> np.ndarray:
     """[N] symmetric Hausdorff distance of each trajectory to the expert
-    (control.py:34-72)."""
+    (control.py:34-72). Uses ALL point columns like the reference (whose
+    unicycle candidates include theta in the distance); callers choose
+    the columns by what they pass ([N, T, 2] for pure-xy distances)."""
     from scipy.spatial.distance import directed_hausdorff
 
-    ref = trajectories[expert_idx, :, :2]
+    ref = trajectories[expert_idx]
     out = np.zeros(len(trajectories))
     for i, t in enumerate(trajectories):
-        a = directed_hausdorff(ref, t[:, :2])[0]
-        b = directed_hausdorff(t[:, :2], ref)[0]
+        a = directed_hausdorff(ref, t)[0]
+        b = directed_hausdorff(t, ref)[0]
         out[i] = max(a, b)
     return out
 

@@ -811,3 +811,42 @@ def test_reference_elevation_binning_pipeline():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ours_var), ref_var,
                                rtol=1e-4, atol=1e-6)
+
+
+def test_reference_rlhf_control_kernels():
+    """Execute the reference's rlhf planner kernels (scripts/traversability/
+    planner_utils/control.py): the unicycle delta (getControls:12), the
+    symmetric Hausdorff filter (hausdorffDistance:34 — over ALL point
+    columns, theta included for unicycle candidates), and the BEV<->metric
+    transforms (transformToLocal:117 / transformToBEV:132) against
+    annotation/control.py."""
+    from scipy.spatial.distance import directed_hausdorff
+
+    from creste_public_tpu.annotation import control as ctl
+
+    rel = "scripts/traversability/planner_utils/control.py"
+    ns = base_ns(directed_hausdorff=directed_hausdorff)
+    get_controls, _ = exec_def(rel, "getControls", ns)
+    hausdorff_ref, _ = exec_def(rel, "hausdorffDistance", ns)
+    to_local, _ = exec_def(rel, "transformToLocal", ns)
+    to_bev, _ = exec_def(rel, "transformToBEV", ns)
+
+    rng = np.random.default_rng(3)
+    s = rng.normal(size=(5, 3))
+    c = rng.uniform(-0.5, 0.5, 5)
+    v = rng.uniform(0.5, 2.0, 5)
+    np.testing.assert_allclose(
+        ctl.unicycle_step(s, c, v, dt=0.1), get_controls(s, c, v, None, 0.1),
+        rtol=1e-12)
+
+    trajs = rng.normal(size=(4, 20, 3))
+    np.testing.assert_allclose(
+        ctl.hausdorff_distances(trajs), hausdorff_ref(trajs), rtol=1e-12)
+
+    # transforms: reference works on [B, T, >=2] with an implicit homo col
+    bev = rng.uniform(0, 256, (3, 10, 3))
+    ours = ctl.bev_to_metric(bev[..., :2])
+    np.testing.assert_allclose(ours, to_local(bev)[..., :2], atol=1e-9)
+    xy = rng.uniform(-12, 12, (3, 10, 3))
+    np.testing.assert_allclose(
+        ctl.metric_to_bev(xy[..., :2]), to_bev(xy), atol=1e-9)
