@@ -1517,3 +1517,88 @@ def test_reference_load_weights_modes(tmp_path, mode, head_channels):
     for n, p in stub.named_parameters():
         ours_trainable = pred is None or not pred(_tn_flax_path(n))
         assert p.requires_grad == ours_trainable, (mode, n)
+
+
+# ---------------------------------------------------------------------------
+# MultiScaleFCN reward head (conv.py:88-161) — the module the fused Pallas
+# deployment kernels (ops/reward_pallas.py) also implement
+# ---------------------------------------------------------------------------
+
+
+def test_reference_multiscale_fcn_reward_head():
+    """Execute the reference's OWN ConvLayer + MultiScaleFCN classes at the
+    production head config; assert reference == flax == fused-pallas with
+    the same weights and randomized BN statistics."""
+    from creste_public_tpu.config import presets
+    from creste_public_tpu.models.blocks.convnets import MultiScaleFCN
+    from creste_public_tpu.ops.reward_pallas import msfcn_fused_apply
+
+    ns = base_ns()
+    exec_def("creste/models/blocks/conv.py", "ConvLayer", ns)
+    ref_cls, _ = exec_def("creste/models/blocks/conv.py", "MultiScaleFCN", ns)
+
+    head_cfg = presets.traversability_model_config().to_dict()[
+        "traversability_head"]["net_kwargs"]["reward_cfg"]["net_kwargs"]
+
+    def sub_ns(d):
+        return types.SimpleNamespace(
+            kernels=list(d["kernels"]), dims=list(d["dims"]),
+            stride=list(d["stride"]), norm_type=d["norm_type"])
+
+    cfg_ns = types.SimpleNamespace(
+        prepool=sub_ns(head_cfg["prepool"]), skip=sub_ns(head_cfg["skip"]),
+        trunk=sub_ns(head_cfg["trunk"]), postpool=sub_ns(head_cfg["postpool"]))
+    ref = ref_cls(cfg_ns).eval()
+
+    model = MultiScaleFCN(head_cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 128, 40)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    # randomize BN stats so the running-average path is exercised
+    bs = jax.tree_util.tree_map(
+        lambda v: jnp.abs(v + 0.3 * np.float32(rng.standard_normal(v.shape))),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def load_conv_bn(layer, pname):
+        w = np.asarray(params[pname]["Conv_0"]["kernel"])  # HWIO
+        layer.conv.weight.data = torch.tensor(w.transpose(3, 2, 0, 1))
+        layer.norm.weight.data = torch.tensor(
+            np.asarray(params[pname]["BatchNorm_0"]["scale"]))
+        layer.norm.bias.data = torch.tensor(
+            np.asarray(params[pname]["BatchNorm_0"]["bias"]))
+        layer.norm.running_mean.data = torch.tensor(
+            np.asarray(stats[pname]["BatchNorm_0"]["mean"]))
+        layer.norm.running_var.data = torch.tensor(
+            np.asarray(stats[pname]["BatchNorm_0"]["var"]))
+
+    for i in range(len(head_cfg["prepool"]["kernels"])):
+        load_conv_bn(ref.prepool[i], f"prepool_{i}")
+    for i in range(len(head_cfg["skip"]["kernels"])):
+        load_conv_bn(ref.skip[i], f"skip_{i}")
+    for i in range(len(head_cfg["postpool"]["kernels"])):
+        load_conv_bn(ref.postpool[i], f"postpool_{i}")
+    for i in range(len(head_cfg["trunk"]["kernels"])):
+        conv = ref.trunk[1 + 3 * i]
+        w = np.asarray(params[f"trunk_{i}"]["Conv_0"]["kernel"])
+        conv.conv.weight.data = torch.tensor(w.transpose(3, 2, 0, 1))
+        bn = ref.trunk[2 + 3 * i]
+        bn.weight.data = torch.tensor(
+            np.asarray(params[f"trunk_bn_{i}"]["scale"]))
+        bn.bias.data = torch.tensor(
+            np.asarray(params[f"trunk_bn_{i}"]["bias"]))
+        bn.running_mean.data = torch.tensor(
+            np.asarray(stats[f"trunk_bn_{i}"]["mean"]))
+        bn.running_var.data = torch.tensor(
+            np.asarray(stats[f"trunk_bn_{i}"]["var"]))
+
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(np.asarray(x).transpose(0, 3, 1, 2)))
+    out_ref = np.asarray(out_ref).transpose(0, 2, 3, 1)
+
+    out_flax = np.asarray(model.apply(variables, x, False))
+    np.testing.assert_allclose(out_flax, out_ref, rtol=1e-4, atol=1e-4)
+
+    out_fused = np.asarray(msfcn_fused_apply(variables, x, interpret=True))
+    np.testing.assert_allclose(out_fused, out_ref, rtol=1e-4, atol=1e-4)
