@@ -1602,3 +1602,64 @@ def test_reference_multiscale_fcn_reward_head():
 
     out_fused = np.asarray(msfcn_fused_apply(variables, x, interpret=True))
     np.testing.assert_allclose(out_fused, out_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_reference_inpainting_resnet_multihead_wiring():
+    """Execute the reference's OWN Inpainting/DeconvHead/
+    InpaintingResNet18MultiHead classes (inpainting.py:9-109) + effnet.Up
+    (effnet.py:8-29), with torchvision.resnet18 stubbed by the mirror's
+    BasicBlock trunk (the only non-executable dependency). Strict
+    state_dict interchange pins the parameter naming, and outputs must
+    match the mirror bit-for-bit (shared trunk) — closing the wiring gap
+    the module-level mirror golden left open."""
+    ns = base_ns(prefix_dict=lambda d, p: {f"{p}{k}": v for k, v in d.items()})
+    exec_def("creste/models/blocks/effnet.py", "Up", ns)
+
+    def fake_resnet18(**kwargs):
+        return types.SimpleNamespace(
+            bn1=torch.nn.BatchNorm2d(64),
+            relu=torch.nn.ReLU(inplace=True),
+            layer1=torch.nn.Sequential(tm.TorchBasicBlock(64, 64),
+                                       tm.TorchBasicBlock(64, 64)),
+            layer2=torch.nn.Sequential(tm.TorchBasicBlock(64, 128, 2),
+                                       tm.TorchBasicBlock(128, 128)),
+            layer3=torch.nn.Sequential(tm.TorchBasicBlock(128, 256, 2),
+                                       tm.TorchBasicBlock(256, 256)),
+        )
+
+    ns["torchvision"] = types.SimpleNamespace(
+        models=types.SimpleNamespace(
+            resnet=types.SimpleNamespace(resnet18=fake_resnet18)))
+    exec_def("creste/models/blocks/inpainting.py", "Inpainting", ns)
+    exec_def("creste/models/blocks/inpainting.py", "DeconvHead", ns)
+    ref_cls, _ = exec_def(
+        "creste/models/blocks/inpainting.py", "InpaintingResNet18MultiHead",
+        ns)
+
+    num_classes = [6, 3, 1]
+    ref = ref_cls(32, num_classes, input_key="bev_features",
+                  output_prefix=["inpainting_sam", "inpainting_sam_dynamic",
+                                 "elevation"]).eval()
+    mirror = tm.TorchInpaintingResNet18MultiHead(
+        32, num_classes,
+        ["inpainting_sam", "inpainting_sam_dynamic", "elevation"]).eval()
+
+    # strict naming interchange: every mirror param/buffer loads into the
+    # reference module and vice versa
+    missing = ref.load_state_dict(mirror.state_dict(), strict=False)
+    assert not missing.missing_keys, missing.missing_keys
+    assert not missing.unexpected_keys, missing.unexpected_keys
+
+    torch.manual_seed(0)
+    x = torch.randn(2, 32, 32, 32)
+    with torch.no_grad():
+        ref_out = ref._forward(x)
+        mirror_out = mirror({"bev_features": x})
+    prefixes = ["inpainting_sam", "inpainting_sam_dynamic", "elevation"]
+    for head, prefix in zip(ref_out, prefixes):
+        np.testing.assert_array_equal(
+            t2n(head["preds"]), t2n(mirror_out[f"{prefix}_preds"]),
+            err_msg=prefix)
+        np.testing.assert_array_equal(
+            t2n(head["features"]), t2n(mirror_out[f"{prefix}_features"]),
+            err_msg=prefix)
