@@ -1663,3 +1663,93 @@ def test_reference_inpainting_resnet_multihead_wiring():
         np.testing.assert_array_equal(
             t2n(head["features"]), t2n(mirror_out[f"{prefix}_features"]),
             err_msg=prefix)
+
+
+def test_reference_cnnmlp_action_head():
+    """Execute the reference's OWN MultiLayerConv + MultiLayerPerceptron +
+    CnnMLP (cnnmlp.py:8-74, conv.py:5-32) against the flax CnnMLP with
+    shared weights: early-fusion concat order, conv/BN/ReLU stacking,
+    flatten layout, and the ReLU-after-every-Linear MLP (incl. the last)."""
+    from creste_public_tpu.models.blocks.cnnmlp import CnnMLP
+
+    class AttrDict(dict):
+        __getattr__ = dict.__getitem__
+
+    ns = base_ns(prefix_dict=lambda p, d, seprator="_": {
+        f"{p}{seprator}{k}": v for k, v in d.items()})
+    exec_def("creste/models/blocks/conv.py", "MultiLayerConv", ns)
+    exec_def("creste/models/blocks/cnnmlp.py", "MultiLayerPerceptron", ns)
+    ref_cls, _ = exec_def("creste/models/blocks/cnnmlp.py", "CnnMLP", ns)
+
+    cnn_kwargs = {"dims": [6, 8], "kernels": [3], "paddings": [1],
+                  "stride": [2], "norm_type": "batch_norm"}
+    mlp_dims = [8 * 4 * 4, 16, 8]
+    cfg = {
+        "input_keys": ["a", "b"],
+        "cnn_cfg": {"name": "MultiLayerConv",
+                    "net_kwargs": AttrDict(cnn_kwargs)},
+        "mlp_cfg": {"name": "MultiLayerPerceptron",
+                    "net_kwargs": {"dims": mlp_dims}},
+        "out_horizon": 4,
+        "output_prefix": ["bc"],
+    }
+    ref = ref_cls(**cfg).eval()
+
+    model = CnnMLP(cfg)
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(2, 8, 8, 2)).astype(np.float32)
+    b = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           {"a": jnp.asarray(a), "b": jnp.asarray(b)})
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    # flax -> torch weight copy (conv HWIO -> OIHW; Dense [in,out] -> [out,in])
+    conv = ref.conv_layers.model[0]
+    conv.weight.data = torch.tensor(np.asarray(
+        params["conv"]["Conv_0"]["kernel"]).transpose(3, 2, 0, 1))
+    conv.bias.data = torch.tensor(np.asarray(params["conv"]["Conv_0"]["bias"]))
+    bn = ref.conv_layers.model[1]
+    bnp = params["conv"]["BatchNorm_0"]
+    bns = stats["conv"]["BatchNorm_0"]
+    bn.weight.data = torch.tensor(np.asarray(bnp["scale"]))
+    bn.bias.data = torch.tensor(np.asarray(bnp["bias"]))
+    bn.running_mean.data = torch.tensor(np.asarray(bns["mean"]))
+    bn.running_var.data = torch.tensor(np.asarray(bns["var"]))
+    for i in range(2):
+        lin = ref.mlp_head.model[2 * i]
+        lin.weight.data = torch.tensor(np.asarray(
+            params["mlp"][f"fc_{i}"]["kernel"]).T)
+        lin.bias.data = torch.tensor(np.asarray(
+            params["mlp"][f"fc_{i}"]["bias"]))
+
+    out_flax = np.asarray(model.apply(
+        variables, {"a": jnp.asarray(a), "b": jnp.asarray(b)}))
+
+    # NHWC -> NCHW inputs; torch flattens CHW-major, flax HWC-major — the
+    # MLP consumes a permutation-equivalent flatten, so compare through
+    # the torch layout by permuting the flax conv features identically
+    with torch.no_grad():
+        tin = {"a": torch.tensor(a.transpose(0, 3, 1, 2)),
+               "b": torch.tensor(b.transpose(0, 3, 1, 2))}
+        tconv = ref.conv_layers(torch.cat([tin["a"], tin["b"]], dim=1))
+        tout = ref(tin)["bc_preds"]
+
+    # conv trunk parity (layout-adjusted)
+    from creste_public_tpu.models.blocks.convnets import MultiLayerConv
+
+    fconv = np.asarray(MultiLayerConv(AttrDict(cnn_kwargs), name="conv").apply(
+        {"params": params["conv"], "batch_stats": stats["conv"]},
+        jnp.asarray(np.concatenate([a, b], -1)), False))
+    np.testing.assert_allclose(fconv.transpose(0, 3, 1, 2), t2n(tconv),
+                               rtol=1e-4, atol=1e-5)
+
+    # head parity: feed the torch-flattened features through the flax MLP
+    flat_torch_order = t2n(tconv).reshape(2, -1)
+    from creste_public_tpu.models.blocks.cnnmlp import MultiLayerPerceptron
+
+    fmlp = np.asarray(MultiLayerPerceptron(tuple(mlp_dims), name="mlp").apply(
+        {"params": params["mlp"]}, jnp.asarray(flat_torch_order)))
+    np.testing.assert_allclose(
+        fmlp.reshape(2, 4, 2), t2n(tout), rtol=1e-4, atol=1e-5)
+    assert out_flax.shape == (2, mlp_dims[-1])
