@@ -1753,3 +1753,47 @@ def test_reference_cnnmlp_action_head():
     np.testing.assert_allclose(
         fmlp.reshape(2, 4, 2), t2n(tout), rtol=1e-4, atol=1e-5)
     assert out_flax.shape == (2, mlp_dims[-1])
+
+
+def test_reference_effnet_wrapper_wiring():
+    """Execute the reference's OWN EffNet wrapper class (effnet.py:31-98):
+    the Up-chain channel accumulation, odd-size endpoint scale_factor
+    arithmetic, endpoint indexing (reduction_5 down to reduction_0 = the
+    raw input), and the 1x1 projection — with efficientnet_pytorch stubbed
+    by the mirror's trunk (the only non-executable dependency). Mirror
+    outputs must match bit-for-bit under a strict state_dict interchange."""
+    ns = base_ns()
+    exec_def("creste/models/blocks/effnet.py", "Up", ns)
+
+    class _FromPretrained:
+        @staticmethod
+        def from_pretrained(name):
+            t = tm.TorchEffNetTrunk(in_ch=3, image_size=(64, 80))
+            t.set_swish = lambda *a, **k: None
+            return t
+
+    def get_same_padding_conv2d(image_size):
+        def make(in_ch, out_ch, kernel_size, stride, bias):
+            return tm.Conv2dStaticSamePadding(
+                in_ch, out_ch, kernel_size, stride, image_size, bias=bias)
+
+        return make
+
+    ns["EfficientNet"] = _FromPretrained
+    ns["utils"] = types.SimpleNamespace(
+        get_same_padding_conv2d=get_same_padding_conv2d)
+    ref_cls, _ = exec_def("creste/models/blocks/effnet.py", "EffNet", ns)
+
+    ref = ref_cls("efficientnet-b0", 4, 24, (64, 80), downsample=4).eval()
+    mirror = tm.TorchEffNet(4, 24, (64, 80), downsample=4).eval()
+    res = ref.load_state_dict(mirror.state_dict(), strict=False)
+    assert not res.missing_keys, res.missing_keys
+    assert not res.unexpected_keys, res.unexpected_keys
+
+    torch.manual_seed(0)
+    x = torch.randn(1, 4, 64, 80)
+    with torch.no_grad():
+        y_ref, feat_ref = ref(x)
+        y_m, feat_m = mirror(x)
+    np.testing.assert_array_equal(t2n(y_ref), t2n(y_m))
+    np.testing.assert_array_equal(t2n(feat_ref), t2n(feat_m))
