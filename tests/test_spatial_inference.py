@@ -50,3 +50,8 @@ def test_spatial_sharded_inference_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(out[k], np.float32), np.asarray(ref[k], np.float32),
             rtol=0, atol=1e-5, err_msg=k)
+
+
+def test_spatial_mesh_rejects_insufficient_devices():
+    with pytest.raises(ValueError, match="spatial mesh needs"):
+        make_spatial_mesh(len(jax.devices()) + 1)
