@@ -38,4 +38,7 @@ run train_bf16 2400 python scripts/benchmarks/train_step_bench.py \
 run train_irl 2400 python scripts/benchmarks/train_step_bench.py \
   --stage traversability --batch 10
 
+# 6. offline preprocessing kernel chain at production shapes
+run preproc 1800 python scripts/benchmarks/preproc_bench.py
+
 tail -n +1 "$OUT"
