@@ -155,6 +155,131 @@ def exec_def(rel: str, qualname: str, ns: dict | None = None, **extra):
     return ns[qualname.split(".")[-1]], ns
 
 
+def plain_cfg(d):
+    """Deep plain-dict copy of an AttrCfg/dict tree."""
+    if isinstance(d, dict):
+        return {k: plain_cfg(v) for k, v in d.items()}
+    return d
+
+
+class AttrCfg(dict):
+    """OmegaConf-DictConfig stand-in for executing reference classes:
+    attribute access + .get on nested dicts. Children are wrapped AT
+    CONSTRUCTION because CPython's **-expansion reads dict storage
+    directly, bypassing any overridden __getitem__."""
+
+    def __init__(self, d=()):
+        super().__init__({
+            k: AttrCfg(v)
+            if isinstance(v, dict) and not isinstance(v, AttrCfg) else v
+            for k, v in dict(d).items()})
+
+    def __getattr__(self, k):
+        try:
+            return dict.__getitem__(self, k)
+        except KeyError:
+            raise AttributeError(k)
+
+    def __setitem__(self, k, v):
+        if isinstance(v, dict) and not isinstance(v, AttrCfg):
+            v = AttrCfg(v)
+        dict.__setitem__(self, k, v)
+
+    def get(self, k, default=None):
+        v = dict.get(self, k, default)
+        if isinstance(v, dict) and not isinstance(v, AttrCfg):
+            v = AttrCfg(v)
+        return v
+
+
+# Signature adapters: the reference composites instantiate submodules via
+# globals()[name](cfg-attr-style, ...); these present the reference
+# constructor/call signatures over the mirror modules (which the module
+# goldens pin against reference code) so composite classes execute with
+# only the EffNet-trunk/splat leaves stubbed.
+
+
+class MirrorDistillationBackbone(tm.TorchDistillationBackbone):
+    def __init__(self, model_cfg):
+        super().__init__(plain_cfg(model_cfg))
+
+    def forward(self, x):
+        B, N, C, H, W = x.shape
+        return super().forward(x.reshape(B * N, C, H, W))
+
+
+class MirrorCamera2MapMulti(tm.TorchCamera2MapMulti):
+    def __init__(self, cfg, mode="bilinear", scatter_mode="mean"):
+        super().__init__(plain_cfg(cfg), scatter_mode=scatter_mode)
+
+    def forward(self, args):
+        return super().forward(*args)
+
+
+class MirrorInpainting(tm.TorchInpaintingResNet18MultiHead):
+    def __init__(self, num_input_features, num_classes,
+                 norm_layer="batch_norm", **kw):
+        super().__init__(
+            num_input_features, list(num_classes),
+            list(kw.pop("output_prefix")),
+            input_key=kw.pop("input_key", "bev_features"),
+            learnable_loss_weight=kw.pop("learnable_loss_weight", False))
+
+
+def composite_ns(**extra):
+    """base_ns + the stubs every composite-class exec needs."""
+    import contextlib
+    import os as _os
+
+    @contextlib.contextmanager
+    def open_dict(c):
+        yield c
+
+    ns = base_ns(
+        os=_os,
+        DictConfig=dict,
+        OmegaConf=types.SimpleNamespace(
+            to_object=plain_cfg, create=lambda d: AttrCfg(plain_cfg(d))),
+        open_dict=open_dict,
+        DEBUG_TERRAINNET=False,
+        SAVE_VISUALS=False,
+        DEBUG_VIN=0,
+        DEBUG_GOAL_ONLY_FEATURE=0,
+        DEBUG_INPUTS=0,
+        GaussianBlur=None,
+        visualize_bev_policy=None,
+        visualize_bev_label=None,
+        FSC_LABEL_DIR=None,
+        DistillationBackbone=MirrorDistillationBackbone,
+        DepthCompletion=tm.TorchDepthCompletion,
+        FoundationBackbone=None,
+        Camera2MapMulti=MirrorCamera2MapMulti,
+        MergeUnit=tm.TorchMergeUnit,
+        InpaintingResNet18MultiHead=MirrorInpainting,
+        MultiLayerPerceptron=None,
+        convert_to_metric_depth=None,
+        bin_depths=None,
+        save_depth_color_image=None,
+        resize_and_center_crop=None,
+    )
+    ns.update(extra)
+    return ns
+
+
+def ref_deploy_inputs(h, w, seed=11, depth_scale=3000.0):
+    """Deterministic NCHW rgbd + p2p pair for composite-graph goldens."""
+    rng = np.random.default_rng(seed)
+    rgbd = rng.uniform(0, 1, (1, 1, 4, h, w)).astype(np.float32)
+    rgbd[:, :, 3] *= depth_scale
+    fx = fy = 0.9 * w
+    kinv = np.array([[1 / fx, 0, -w / 2 / fx], [0, 1 / fy, -h / 2 / fy],
+                     [0, 0, 1.0]])
+    rot = np.array([[0, 0, 1.0], [-1, 0, 0], [0, -1, 0]])
+    p2p = np.eye(4, dtype=np.float32)
+    p2p[:3, :3] = (rot @ kinv / 4).astype(np.float32)
+    return rgbd, np.tile(p2p, (1, 1, 1, 1))
+
+
 class _TorchScatterStub:
     """5-line torch_scatter stand-in for splat max mode: empty cells stay at
     the zero init, occupied cells take a pure max of src (torch_scatter
@@ -1803,95 +1928,23 @@ def test_reference_terrainnet_composite_wiring():
     """Execute the reference's OWN TerrainNet composite class
     (terrainnet.py:24-351): the depthcomp -> splat -> BEV-decoder wiring,
     the [B, N] view/reshape handling, splat_key plumbing, and output-dict
-    key contract — with the submodules provided by the mirror classes
-    through signature adapters (OmegaConf/globals() instantiation style).
-    Strict state_dict interchange + bit-exact outputs vs TorchTerrainNet."""
-    import os as _os
-
+    key contract — submodules provided by the mirror classes through
+    signature adapters. Strict state_dict interchange + bit-exact outputs
+    vs TorchTerrainNet."""
     from creste_public_tpu.config import presets
 
     cfg = presets.tiny_terrainnet_config().to_dict()
-
-    def plain(d):
-        if isinstance(d, dict):
-            return {k: plain(v) for k, v in d.items()}
-        return d
-
-    class AD(dict):
-        """OmegaConf-DictConfig stand-in: attr access + .get on dicts."""
-
-        def __getattr__(self, k):
-            try:
-                v = self[k]
-            except KeyError:
-                raise AttributeError(k)
-            return AD(v) if isinstance(v, dict) else v
-
-        def get(self, k, default=None):
-            v = dict.get(self, k, default)
-            return AD(v) if isinstance(v, dict) else v
-
-    class _DistillationBackbone(tm.TorchDistillationBackbone):
-        def __init__(self, model_cfg):
-            super().__init__(plain(model_cfg))
-
-        def forward(self, x):
-            B, N, C, H, W = x.shape
-            return super().forward(x.reshape(B * N, C, H, W))
-
-    class _Camera2MapMulti(tm.TorchCamera2MapMulti):
-        def __init__(self, cfg, mode="bilinear"):
-            super().__init__(plain(cfg), scatter_mode="mean")
-
-        def forward(self, args):
-            return super().forward(*args)
-
-    class _Inpainting(tm.TorchInpaintingResNet18MultiHead):
-        def __init__(self, num_input_features, num_classes,
-                     norm_layer="batch_norm", **kw):
-            super().__init__(
-                num_input_features, list(num_classes),
-                list(kw.pop("output_prefix")),
-                input_key=kw.pop("input_key", "bev_features"),
-                learnable_loss_weight=kw.pop("learnable_loss_weight", False))
-
-    ns = base_ns(
-        os=_os,
-        DictConfig=dict,
-        OmegaConf=types.SimpleNamespace(to_object=plain),
-        DEBUG_TERRAINNET=False,
-        SAVE_VISUALS=False,
-        DistillationBackbone=_DistillationBackbone,
-        DepthCompletion=tm.TorchDepthCompletion,
-        FoundationBackbone=None,
-        Camera2MapMulti=_Camera2MapMulti,
-        MergeUnit=tm.TorchMergeUnit,
-        InpaintingResNet18MultiHead=_Inpainting,
-        MultiLayerPerceptron=None,
-        convert_to_metric_depth=None,
-        bin_depths=None,
-        save_depth_color_image=None,
-    )
+    ns = composite_ns()
     ref_cls, _ = exec_def("creste/models/terrainnet.py", "TerrainNet", ns)
 
-    ref = ref_cls(AD(cfg)).eval()
+    ref = ref_cls(AttrCfg(cfg)).eval()
     mirror = tm.TorchTerrainNet(cfg).eval()
     res = ref.load_state_dict(mirror.state_dict(), strict=False)
     assert not res.missing_keys, res.missing_keys
     assert not res.unexpected_keys, res.unexpected_keys
 
     h, w = cfg["vision_backbone"]["effnet_cfgs"]["image_size"]
-    rng = np.random.default_rng(9)
-    rgbd = rng.uniform(0, 1, (1, 1, 4, h, w)).astype(np.float32)
-    rgbd[:, :, 3] *= 3000.0
-    fx = fy = 0.9 * w
-    kinv = np.array([[1 / fx, 0, -w / 2 / fx], [0, 1 / fy, -h / 2 / fy],
-                     [0, 0, 1.0]])
-    rot = np.array([[0, 0, 1.0], [-1, 0, 0], [0, -1, 0]])
-    p2p = np.eye(4, dtype=np.float32)
-    p2p[:3, :3] = (rot @ kinv / 4).astype(np.float32)
-    p2p = np.tile(p2p, (1, 1, 1, 1))
-
+    rgbd, p2p = ref_deploy_inputs(h, w, seed=9)
     with torch.no_grad():
         ref_out = ref((torch.tensor(rgbd), torch.tensor(p2p)))
         m_out = mirror(torch.tensor(rgbd), torch.tensor(p2p))
@@ -1908,15 +1961,11 @@ def test_reference_maxent_irl_deployed_graph():
     """Execute the reference's FULL deployed inference graph from its own
     source: MaxEntIRL (lfd.py:21-115,314-331, solve_mdp=False) ->
     TerrainNet (terrainnet.py) -> VIN (vin.py) -> MultiScaleFCN (conv.py),
-    leaf-stubbed only at the EffNet trunk / splat (mirror modules via the
-    same signature adapters as the TerrainNet wiring golden). Outputs must
-    match the mirror's deployed graph (TorchMaxEntIRLReward) bit-exactly —
-    and that mirror is golden-tested vs flax at <=1e-3 (the north star),
-    so the chain reference == mirror == flax closes over the whole
-    deployment graph."""
-    import contextlib
-    import os as _os
-
+    leaf-stubbed only at the EffNet trunk / splat (mirror modules via
+    signature adapters). Outputs must match the mirror's deployed graph
+    (TorchMaxEntIRLReward) bit-exactly — and that mirror is golden-tested
+    vs flax at <=1e-3 (the north star), so reference == mirror == flax
+    closes over the whole deployment graph."""
     from creste_public_tpu.config import presets
 
     cfg = presets.tiny_traversability_config().to_dict()
@@ -1924,102 +1973,21 @@ def test_reference_maxent_irl_deployed_graph():
     cfg["vision_backbone"].setdefault("weights_path", "")
     cfg["vision_backbone"].setdefault("ckpt_path", "")
 
-    def plain(d):
-        if isinstance(d, dict):
-            return {k: plain(v) for k, v in d.items()}
-        return d
-
-    class AD(dict):
-        """Deep attr-dict: children are wrapped AT CONSTRUCTION because
-        CPython's **-expansion reads dict storage directly, bypassing any
-        overridden __getitem__."""
-
-        def __init__(self, d=()):
-            super().__init__({
-                k: AD(v) if isinstance(v, dict) and not isinstance(v, AD)
-                else v
-                for k, v in dict(d).items()})
-
-        def __getattr__(self, k):
-            try:
-                return dict.__getitem__(self, k)
-            except KeyError:
-                raise AttributeError(k)
-
-        def __setitem__(self, k, v):
-            if isinstance(v, dict) and not isinstance(v, AD):
-                v = AD(v)
-            dict.__setitem__(self, k, v)
-
-    class _DistillationBackbone(tm.TorchDistillationBackbone):
-        def __init__(self, model_cfg):
-            super().__init__(plain(model_cfg))
-
-        def forward(self, x):
-            B, N, C, H, W = x.shape
-            return super().forward(x.reshape(B * N, C, H, W))
-
-    class _Camera2MapMulti(tm.TorchCamera2MapMulti):
-        def __init__(self, cfg, mode="bilinear"):
-            super().__init__(plain(cfg), scatter_mode="mean")
-
-        def forward(self, args):
-            return super().forward(*args)
-
-    class _Inpainting(tm.TorchInpaintingResNet18MultiHead):
-        def __init__(self, num_input_features, num_classes,
-                     norm_layer="batch_norm", **kw):
-            super().__init__(
-                num_input_features, list(num_classes),
-                list(kw.pop("output_prefix")),
-                input_key=kw.pop("input_key", "bev_features"),
-                learnable_loss_weight=kw.pop("learnable_loss_weight", False))
-
-    @contextlib.contextmanager
-    def open_dict(c):
-        yield c
-
     fov_fn, _ = exec_def("creste/utils/train_utils.py",
                          "create_trapezoidal_fov_mask")
-    omega = types.SimpleNamespace(to_object=plain,
-                                  create=lambda d: AD(plain(d)))
-
-    shared = base_ns(
-        os=_os,
-        DictConfig=dict,
-        OmegaConf=omega,
-        open_dict=open_dict,
-        DEBUG_TERRAINNET=False,
-        SAVE_VISUALS=False,
-        DEBUG_VIN=0,
-        DEBUG_GOAL_ONLY_FEATURE=0,
-        DEBUG_INPUTS=0,
-        DEBUG_MODE=0,
-        GaussianBlur=None,
-        visualize_bev_policy=None,
-        visualize_bev_label=None,
-        FSC_LABEL_DIR=None,
+    ns = composite_ns(
         tu=types.SimpleNamespace(create_trapezoidal_fov_mask=fov_fn),
-        DistillationBackbone=_DistillationBackbone,
-        DepthCompletion=tm.TorchDepthCompletion,
-        FoundationBackbone=None,
-        Camera2MapMulti=_Camera2MapMulti,
-        MergeUnit=tm.TorchMergeUnit,
-        InpaintingResNet18MultiHead=_Inpainting,
-        MultiLayerPerceptron=None,
-        convert_to_metric_depth=None,
-        bin_depths=None,
-        save_depth_color_image=None,
         np=np,
         optim=None,
+        DEBUG_MODE=0,
     )
-    exec_def("creste/models/blocks/conv.py", "ConvLayer", shared)
-    exec_def("creste/models/blocks/conv.py", "MultiScaleFCN", shared)
-    exec_def("creste/models/terrainnet.py", "TerrainNet", shared)
-    exec_def("creste/models/blocks/vin.py", "VIN", shared)
-    ref_cls, _ = exec_def("creste/models/lfd.py", "MaxEntIRL", shared)
+    exec_def("creste/models/blocks/conv.py", "ConvLayer", ns)
+    exec_def("creste/models/blocks/conv.py", "MultiScaleFCN", ns)
+    exec_def("creste/models/terrainnet.py", "TerrainNet", ns)
+    exec_def("creste/models/blocks/vin.py", "VIN", ns)
+    ref_cls, _ = exec_def("creste/models/lfd.py", "MaxEntIRL", ns)
 
-    ref = ref_cls(AD(cfg)).eval()
+    ref = ref_cls(AttrCfg(cfg)).eval()
     mirror = tm.TorchMaxEntIRLReward(cfg).eval()
 
     res = ref.load_state_dict(mirror.state_dict(), strict=False)
@@ -2029,19 +1997,9 @@ def test_reference_maxent_irl_deployed_graph():
     allowed = {"dynamics", "transition_probs", "traversability_head.w"}
     assert set(res.missing_keys) <= allowed, res.missing_keys
 
-    vb = cfg["vision_backbone"]
-    h, w = vb["vision_backbone"]["effnet_cfgs"]["image_size"]
-    rng = np.random.default_rng(11)
-    rgbd = rng.uniform(0, 1, (1, 1, 4, h, w)).astype(np.float32)
-    rgbd[:, :, 3] *= 3000.0
-    fx = fy = 0.9 * w
-    kinv = np.array([[1 / fx, 0, -w / 2 / fx], [0, 1 / fy, -h / 2 / fy],
-                     [0, 0, 1.0]])
-    rot = np.array([[0, 0, 1.0], [-1, 0, 0], [0, -1, 0]])
-    p2p = np.eye(4, dtype=np.float32)
-    p2p[:3, :3] = (rot @ kinv / 4).astype(np.float32)
-    p2p = np.tile(p2p, (1, 1, 1, 1))
-
+    h, w = cfg["vision_backbone"]["vision_backbone"]["effnet_cfgs"][
+        "image_size"]
+    rgbd, p2p = ref_deploy_inputs(h, w, seed=11)
     with torch.no_grad():
         ref_out = ref((torch.tensor(rgbd), torch.tensor(p2p)))
         m_out = mirror(torch.tensor(rgbd), torch.tensor(p2p))
@@ -2053,3 +2011,49 @@ def test_reference_maxent_irl_deployed_graph():
     for k in keys:
         np.testing.assert_array_equal(t2n(ref_out[k]), t2n(m_out[k]),
                                       err_msg=k)
+
+
+def test_reference_distillation_backbone_wiring():
+    """Execute the reference's OWN DistillationBackbone class
+    (distillation.py:18-207) single-view core path with its dino_head
+    built from the reference's OWN MultiLayerConv (conv.py:5-32) —
+    only DepthCompletion is mirror-stubbed. Strict state_dict
+    interchange + bit-exact outputs vs TorchDistillationBackbone,
+    incl. the learnable PE map interpolate->pe_head->add path."""
+    from creste_public_tpu.config import presets
+
+    cfg = presets.tiny_pefree_config().to_dict()
+    # mirror models the single-view core path; the multiview splat is
+    # covered by the cam2map/splat goldens
+    cfg["multiview_distillation"] = False
+    cfg.setdefault("weights_path", "")
+    cfg.setdefault("ckpt_path", "")
+
+    ns = composite_ns(MSNet2D=None)  # stereo trunk unused in this config
+    exec_def("creste/models/blocks/conv.py", "MultiLayerConv", ns)
+    ref_cls, _ = exec_def(
+        "creste/models/distillation.py", "DistillationBackbone", ns)
+
+    ref = ref_cls(AttrCfg(cfg)).eval()
+    # reference quirk: camproj_cfg is only assigned under
+    # multiview_distillation, yet forward's pe_map branch reads it — the
+    # single-view+pe_map combination is unreachable as shipped (their
+    # config sets multiview True); bind the attribute to execute it
+    ref.camproj_cfg = None
+    mirror = tm.TorchDistillationBackbone(cfg).eval()
+    res = ref.load_state_dict(mirror.state_dict(), strict=False)
+    assert not res.missing_keys, res.missing_keys
+    assert not res.unexpected_keys, res.unexpected_keys
+
+    h, w = cfg["vision_backbone"]["effnet_cfgs"]["image_size"]
+    rgbd, _ = ref_deploy_inputs(h, w, seed=13)
+    x = torch.tensor(rgbd)  # [B, V=1, 4, H, W]
+    with torch.no_grad():
+        ref_out = ref(x)
+        m_out = mirror(x.reshape(1, 4, h, w))
+
+    for k in ("dino_pe", "dino_pefree_feats", "dino_pe_feats",
+              "depth_preds_metric"):
+        assert k in ref_out and k in m_out, k
+        a, b = t2n(ref_out[k]), t2n(m_out[k])
+        np.testing.assert_array_equal(a.reshape(b.shape), b, err_msg=k)
