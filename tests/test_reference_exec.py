@@ -2057,3 +2057,50 @@ def test_reference_distillation_backbone_wiring():
         assert k in ref_out and k in m_out, k
         a, b = t2n(ref_out[k]), t2n(m_out[k])
         np.testing.assert_array_equal(a.reshape(b.shape), b, err_msg=k)
+
+
+def test_reference_depth_completion_wiring():
+    """Execute the reference's OWN DepthCompletion class (depth.py:17-160)
+    with its own MultiLayerConv depth head AND its own
+    convert_to_metric_depth_differentiable (depth_utils.py) — only the
+    VisionEncoder's EffNet trunk is mirror-backed. Strict state_dict
+    interchange + bit-exact outputs vs TorchDepthCompletion (logits,
+    softmax-expectation metric depth, argmax bins, feats)."""
+    from creste_public_tpu.config import presets
+
+    cfg = presets.tiny_pefree_config().to_dict()
+    cfg["vision_backbone"].setdefault("weights_path", "")
+
+    metric_fn, _ = exec_def("creste/utils/depth_utils.py",
+                            "convert_to_metric_depth_differentiable")
+
+    class _VisionEncoder(tm.TorchVisionEncoder):
+        def __init__(self, vision_cfg):
+            super().__init__(plain_cfg(vision_cfg))
+
+    ns = composite_ns(
+        VisionEncoder=_VisionEncoder,
+        convert_to_metric_depth_differentiable=metric_fn,
+        DEBUG_DEPTH=False,
+    )
+    exec_def("creste/models/blocks/conv.py", "MultiLayerConv", ns)
+    ref_cls, _ = exec_def("creste/models/depth.py", "DepthCompletion", ns)
+
+    ref = ref_cls(AttrCfg(cfg)).eval()
+    mirror = tm.TorchDepthCompletion(cfg).eval()
+    res = ref.load_state_dict(mirror.state_dict(), strict=False)
+    assert not res.missing_keys, res.missing_keys
+    assert not res.unexpected_keys, res.unexpected_keys
+
+    h, w = cfg["vision_backbone"]["effnet_cfgs"]["image_size"]
+    rgbd, _ = ref_deploy_inputs(h, w, seed=17)
+    x = torch.tensor(rgbd.reshape(1, 4, h, w))
+    with torch.no_grad():
+        ref_out = ref(x)
+        m_out = mirror(x)
+
+    for k in ("depth_preds_logits", "depth_preds_metric",
+              "depth_preds_bins", "depth_preds_feats"):
+        assert k in ref_out and k in m_out, k
+        np.testing.assert_array_equal(t2n(ref_out[k]), t2n(m_out[k]),
+                                      err_msg=k)
