@@ -88,9 +88,12 @@ def hausdorff_distances(
     trajectories: np.ndarray, expert_idx: int = 0
 ) -> np.ndarray:
     """[N] symmetric Hausdorff distance of each trajectory to the expert
-    (control.py:34-72). Uses ALL point columns like the reference (whose
-    unicycle candidates include theta in the distance); callers choose
-    the columns by what they pass ([N, T, 2] for pure-xy distances)."""
+    (control.py:34-72). Uses ALL point columns like the reference
+    function; callers choose the columns by what they pass. NOTE: in the
+    reference's actual pipeline (rlhf/app.py:163-166) candidates go
+    through transformToBEV first, which emits xy only — so pass
+    [N, T, 2] (as annotation/app.py does) for pipeline-faithful
+    distances."""
     from scipy.spatial.distance import directed_hausdorff
 
     ref = trajectories[expert_idx]

@@ -1737,7 +1737,8 @@ def test_reference_inpainting_resnet_multihead_wiring():
     state_dict interchange pins the parameter naming, and outputs must
     match the mirror bit-for-bit (shared trunk) — closing the wiring gap
     the module-level mirror golden left open."""
-    ns = base_ns(prefix_dict=lambda d, p: {f"{p}{k}": v for k, v in d.items()})
+    ns = base_ns(prefix_dict=lambda p, d, seprator="/": {
+        f"{p}{seprator}{k}": v for k, v in d.items()})
     exec_def("creste/models/blocks/effnet.py", "Up", ns)
 
     def fake_resnet18(**kwargs):
@@ -1778,16 +1779,17 @@ def test_reference_inpainting_resnet_multihead_wiring():
     torch.manual_seed(0)
     x = torch.randn(2, 32, 32, 32)
     with torch.no_grad():
-        ref_out = ref._forward(x)
+        # full forward(): covers the Inpainting.forward prefix_dict
+        # key-naming wiring, not just the head math
+        ref_out = ref({"bev_features": x})
         mirror_out = mirror({"bev_features": x})
-    prefixes = ["inpainting_sam", "inpainting_sam_dynamic", "elevation"]
-    for head, prefix in zip(ref_out, prefixes):
-        np.testing.assert_array_equal(
-            t2n(head["preds"]), t2n(mirror_out[f"{prefix}_preds"]),
-            err_msg=prefix)
-        np.testing.assert_array_equal(
-            t2n(head["features"]), t2n(mirror_out[f"{prefix}_features"]),
-            err_msg=prefix)
+    ref_keys = {k for k, v in ref_out.items() if isinstance(v, torch.Tensor)}
+    m_keys = {k for k, v in mirror_out.items()
+              if isinstance(v, torch.Tensor)}
+    assert ref_keys == m_keys, ref_keys ^ m_keys
+    for k in sorted(ref_keys):
+        np.testing.assert_array_equal(t2n(ref_out[k]), t2n(mirror_out[k]),
+                                      err_msg=k)
 
 
 def test_reference_cnnmlp_action_head():
@@ -1949,10 +1951,13 @@ def test_reference_terrainnet_composite_wiring():
         ref_out = ref((torch.tensor(rgbd), torch.tensor(p2p)))
         m_out = mirror(torch.tensor(rgbd), torch.tensor(p2p))
 
-    shared = [k for k in m_out
-              if isinstance(m_out[k], torch.Tensor) and k in ref_out]
-    assert "bev_features" in shared and "elevation_preds" in shared
-    for k in shared:
+    ref_keys = {k for k, v in ref_out.items() if isinstance(v, torch.Tensor)}
+    m_keys = {k for k, v in m_out.items() if isinstance(v, torch.Tensor)}
+    # the key CONTRACT, not just the intersection: a naming divergence in
+    # any head must fail, not silently drop out of the comparison
+    assert ref_keys == m_keys, ref_keys ^ m_keys
+    assert "bev_features" in ref_keys and "elevation_preds" in ref_keys
+    for k in sorted(ref_keys):
         np.testing.assert_array_equal(t2n(ref_out[k]), t2n(m_out[k]),
                                       err_msg=k)
 
@@ -2004,11 +2009,12 @@ def test_reference_maxent_irl_deployed_graph():
         ref_out = ref((torch.tensor(rgbd), torch.tensor(p2p)))
         m_out = mirror(torch.tensor(rgbd), torch.tensor(p2p))
 
-    keys = [k for k in m_out
-            if isinstance(m_out[k], torch.Tensor) and k in ref_out]
-    assert "traversability_preds" in keys
-    assert "traversability_preds_full" in keys
-    for k in keys:
+    ref_keys = {k for k, v in ref_out.items() if isinstance(v, torch.Tensor)}
+    m_keys = {k for k, v in m_out.items() if isinstance(v, torch.Tensor)}
+    assert ref_keys == m_keys, ref_keys ^ m_keys
+    assert "traversability_preds" in ref_keys
+    assert "traversability_preds_full" in ref_keys
+    for k in sorted(ref_keys):
         np.testing.assert_array_equal(t2n(ref_out[k]), t2n(m_out[k]),
                                       err_msg=k)
 
@@ -2052,10 +2058,14 @@ def test_reference_distillation_backbone_wiring():
         ref_out = ref(x)
         m_out = mirror(x.reshape(1, 4, h, w))
 
-    for k in ("dino_pe", "dino_pefree_feats", "dino_pe_feats",
-              "depth_preds_metric"):
-        assert k in ref_out and k in m_out, k
+    ref_keys = {k for k, v in ref_out.items() if isinstance(v, torch.Tensor)}
+    m_keys = {k for k, v in m_out.items() if isinstance(v, torch.Tensor)}
+    assert ref_keys == m_keys, ref_keys ^ m_keys
+    assert {"dino_pe", "dino_pefree_feats", "dino_pe_feats",
+            "depth_preds_metric"} <= ref_keys
+    for k in sorted(ref_keys):
         a, b = t2n(ref_out[k]), t2n(m_out[k])
+        # reference views some outputs as [B, V, ...]; same bytes at V=1
         np.testing.assert_array_equal(a.reshape(b.shape), b, err_msg=k)
 
 
