@@ -172,6 +172,14 @@ def _run_chain(x: Array, layers: Sequence[dict], emit_at: int | None,
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
+        # the chain keeps a padded copy of the block plus the tap
+        # accumulator live at once — past Mosaic's default 16M scoped-vmem
+        # stack at the production [64,128,40->64] shape (measured 23.7M).
+        # The v5e has 128M VMEM and the grid is one block per batch row,
+        # so raise the cap rather than shrink the block.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(x, *flat_args)
     return tuple(outs)
 
