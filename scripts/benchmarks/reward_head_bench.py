@@ -50,8 +50,21 @@ def main():
 
     per, single = serialized_latency(fn, variables, x, None, "r",
                                      n_long=args.iters, repeats=3)
-    print(f"reward head standalone: {per*1e6:8.1f} us/call "
+    print(f"reward head standalone [flax  ]: {per*1e6:8.1f} us/call "
           f"(tunnel single-call {single*1e3:.2f} ms)")
+
+    from creste_public_tpu.ops.reward_pallas import msfcn_fused_apply
+
+    def fnf(v, x, _unused):
+        return {"r": msfcn_fused_apply(v, x)}
+
+    perf_, single_f = serialized_latency(fnf, variables, x, None, "r",
+                                         n_long=args.iters, repeats=3)
+    print(f"reward head standalone [pallas]: {perf_*1e6:8.1f} us/call "
+          f"(tunnel single-call {single_f*1e3:.2f} ms)")
+    dev = float(jnp.max(jnp.abs(fn(variables, x, None)["r"]
+                                - fnf(variables, x, None)["r"])))
+    print(f"fused max deviation: {dev:.2e}")
 
 
 if __name__ == "__main__":
