@@ -41,11 +41,16 @@ def main() -> None:
                          "the reward-map deviation vs f32 (opt-in: not "
                          "parity-compatible)")
     ap.add_argument("--fused", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="also benchmark the fused Pallas reward head "
-                         "(parity-safe: BN-fold + reassociation only; "
-                         "reports the measured deviation; on by default — "
-                         "a failure is recorded, never fatal)")
+                    default=False,
+                    help="also benchmark the fused Pallas reward head. "
+                         "RETIRED from the default: measured END-TO-END "
+                         "REGRESSION on v5e (92.2 Hz BENCH_r03 / 92.8 Hz "
+                         "round-4 re-measure, vs 130.6-131.4 Hz plain XLA) "
+                         "— the flax head is only ~107 us of the 7.6 ms "
+                         "frame (reward_head_bench.py), so the 'op-launch-"
+                         "bound' premise was wrong for TPU/XLA and the "
+                         "custom call just breaks fusion around it. Kept "
+                         "opt-in; parity-safe (dev 2.6e-4, BN-fold only)")
     ap.add_argument("--batch", type=int, default=0,
                     help="also measure offline/serving throughput at "
                          "batch N (frames/s; amortises per-launch "

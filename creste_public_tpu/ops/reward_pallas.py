@@ -165,6 +165,26 @@ def _run_chain(x: Array, layers: Sequence[dict], emit_at: int | None,
         emit_at=-1 if emit_at is None else emit_at,
         out_refs_n=len(out_shapes),
     )
+    # Scoped-vmem cap: the chain keeps a padded copy of the block plus the
+    # tap accumulators live at once — past Mosaic's default 16M stack at
+    # the production [64,128,40->64] shape (measured 23.65M on v5e). The
+    # estimate must use Mosaic's TILED sizes — f32 buffers round the
+    # trailing two dims to (8 sublanes, 128 lanes), so e.g. a 16-channel
+    # accumulator occupies 8x its logical bytes — and the in/out blocks
+    # are double-buffered across the batch grid. 2x headroom over that,
+    # instead of a hardcoded v5e-sized constant, keeps the guard
+    # meaningful on smaller-VMEM TPU generations.
+    def tiled(*dims):  # f32 elements after (8, 128) tiling
+        lead = int(np.prod(dims[:-2])) if len(dims) > 2 else 1
+        return lead * (-(-dims[-2] // 8) * 8) * (-(-dims[-1] // 128) * 128)
+
+    live = 2 * tiled(H, W, layer_shapes[0][2])          # input block (dbuf)
+    live += sum(2 * tiled(H, W, s.shape[3]) for s in out_shapes)
+    live += max(tiled(H + 2, W + 2, max(ci, co)) + tiled(H, W, co)
+                for _, _, ci, co in layer_shapes)       # pad copy + dot out
+    live += sum(tiled(kh * kw, ci, co) + 2 * tiled(1, co)
+                for kh, kw, ci, co in layer_shapes)     # weights + affines
+    cap_bytes = int(min(120 * 2**20, max(16 * 2**20, 2 * 4 * live)))
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
@@ -172,13 +192,8 @@ def _run_chain(x: Array, layers: Sequence[dict], emit_at: int | None,
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
-        # the chain keeps a padded copy of the block plus the tap
-        # accumulator live at once — past Mosaic's default 16M scoped-vmem
-        # stack at the production [64,128,40->64] shape (measured 23.7M).
-        # The v5e has 128M VMEM and the grid is one block per batch row,
-        # so raise the cap rather than shrink the block.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=cap_bytes,
         ),
     )(x, *flat_args)
     return tuple(outs)

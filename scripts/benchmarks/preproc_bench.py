@@ -12,9 +12,14 @@ per-frame kernel chain at production shapes:
 
 Methodology: lax.scan over F frames with input derived from the loop
 index (fresh data each iteration, immune to the tunnel's (program, args)
-memoization — see runtime/benchmark.py); per-frame = (T(F) - T(1))/(F-1).
+memoization — see runtime/benchmark.py); per-frame =
+(T(F2) - T(F1))/(F2 - F1). The spread F2 - F1 must dwarf the tunnel
+round-trip jitter (several ms per call): the kernel chain itself is
+~0.1 ms/frame, so the default spread is 500 frames (~50 ms of compute,
+>> jitter). The original 30-frame spread measured tunnel noise and
+printed a negative rate.
 
-Usage: python scripts/benchmarks/preproc_bench.py [--frames 30] [--points 131072]
+Usage: python scripts/benchmarks/preproc_bench.py [--frames 500] [--points 131072]
 """
 import os as _os
 import sys as _sys
@@ -28,8 +33,9 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=30,
-                    help="scan length (>= 2; per-frame = (T(F)-T(1))/(F-1))")
+    ap.add_argument("--frames", type=int, default=500,
+                    help="scan-length spread (>= 2; per-frame = "
+                         "(T(F1+F)-T(F1))/F; must dwarf tunnel jitter)")
     ap.add_argument("--points", type=int, default=131072)
     ap.add_argument("--img", type=int, nargs=2, default=(512, 612))
     ap.add_argument("--grid", type=int, default=256)
@@ -93,27 +99,34 @@ def main():
         jax.block_until_ready(x)
         return x
 
-    def timed(n):
+    def timed(n, reps=5):
         jax.block_until_ready(run(fresh(), n))  # compile
         ts = []
-        for _ in range(3):
+        for _ in range(reps):
             x = fresh()
             t0 = time.perf_counter()
             jax.block_until_ready(run(x, n))
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        return float(np.median(ts)), float(np.std(ts))
 
-    t1, tf = timed(1), timed(args.frames)
-    per_frame = (tf - t1) / (args.frames - 1)
-    print(json.dumps({
+    n1 = 10
+    (t1, s1), (tf, s2) = timed(n1), timed(n1 + args.frames)
+    per_frame = (tf - t1) / args.frames
+    line = {
         "metric": "preprocessing kernel chain (z-buffer + IDW + elevation)",
-        "per_frame_ms": round(per_frame * 1e3, 3),
-        "frames_per_s": round(1.0 / per_frame, 1),
+        "per_frame_ms": round(per_frame * 1e3, 4),
+        "frames_per_s": round(1.0 / per_frame, 1) if per_frame > 0 else None,
+        "call_jitter_ms": round(max(s1, s2) * 1e3, 2),
+        "frames_spread": args.frames,
         "points": N,
         "img": [H, W],
         "grid": args.grid,
         "backend": jax.default_backend(),
-    }))
+    }
+    if per_frame <= 0 or args.frames * per_frame < 10 * max(s1, s2):
+        line["warning"] = ("spread not well above call jitter; raise "
+                           "--frames for a trustworthy rate")
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -44,6 +44,24 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(1, 64, 128, 40)).astype(np.float32))
     variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    # perturb batch_stats away from the trivial mean=0/var=1 init so the
+    # parity print below exercises the real BN-fold algebra (unit tests
+    # cover non-trivial stats; this keeps the bench honest too)
+    if "batch_stats" in variables:
+        from flax import traverse_util
+
+        flat = traverse_util.flatten_dict(dict(variables["batch_stats"]))
+        flat = {
+            k: jnp.asarray(
+                rng.uniform(0.4, 1.8, v.shape)  # var: positive
+                if k[-1] == "var"
+                else rng.normal(0, 0.5, v.shape),  # mean: signed
+                v.dtype,
+            )
+            for k, v in flat.items()
+        }
+        variables = dict(variables)
+        variables["batch_stats"] = traverse_util.unflatten_dict(flat)
 
     def fn(v, x, _unused):
         return {"r": model.apply(v, x, False)}
