@@ -470,47 +470,59 @@ class TorchCamera2MapMulti(nn.Module):
         return xyz.permute(0, 1, 4, 2, 3)
 
     def splat_soft(self, points_2d, points_features, grid_size):
-        """splat_soft (splat_projection.py:262-354); OOB votes get weight 0."""
+        """Bilinear 4-corner scatter onto the BEV grid.
+
+        Semantics pinned against the reference's own splat_soft
+        (splat_projection.py:262-354) by tests/test_reference_exec.py:
+        every point votes into the four cells surrounding it with
+        bilinear weights; corners falling off the grid are redirected to
+        cell 0 carrying zero weight (so they change nothing); 'mean'
+        normalizes by the accumulated vote mass clamped from below;
+        'max' is an amax against a zeros-initialized accumulator.
+
+        Formulation: one vectorized pass over an explicit corner axis
+        (4x the points, a single scatter per tensor) instead of a
+        per-corner loop.
+        """
         H, W = grid_size
-        n_voxels = H * W
-        ba, feature_dim, n_points = points_features.shape
-        XY = points_2d.floor().long()
-        rXY = points_2d - XY.type_as(points_2d)
-        X, Y = XY.split(1, dim=2)
-        rX, rY = rXY.split(1, dim=2)
-        volume_densities = points_features.new_zeros(ba, n_voxels, 1)
-        volume_features = points_features.new_zeros(ba, feature_dim, n_voxels)
-        for xdiff in (0, 1):
-            X_ = X + xdiff
-            wX = (1 - xdiff) + (2 * xdiff - 1) * rX
-            for ydiff in (0, 1):
-                Y_ = Y + ydiff
-                wY = (1 - ydiff) + (2 * ydiff - 1) * rY
-                w = wX * wY
-                valid = ((0 <= X_) & (X_ < W) & (0 <= Y_) & (Y_ < H)).long()
-                idx = Y_ * W + X_
-                idx_valid = idx * valid  # OOB -> voxel 0 with weight 0
-                w_valid = w * valid.type_as(w)
-                volume_densities.scatter_add_(1, idx_valid, w_valid)
-                idx_e = idx_valid.view(ba, 1, n_points).expand_as(
-                    points_features)
-                w_v = w_valid.view(ba, 1, n_points)
-                if self.scatter_mode in ("mean", "sum"):
-                    volume_features.scatter_add_(2, idx_e,
-                                                 w_v * points_features)
-                elif self.scatter_mode == "max":
-                    # torch_scatter.scatter(reduce='max') vs zeros, then
-                    # torch.maximum against the accumulator: with a zeros
-                    # accumulator this equals amax with include_self=True.
-                    volume_features = volume_features.scatter_reduce(
-                        2, idx_e, w_v * points_features, reduce="amax",
-                        include_self=True)
-                else:
-                    raise ValueError(self.scatter_mode)
-        if self.scatter_mode == "mean":
-            volume_features = volume_features / volume_densities.view(
-                ba, 1, n_voxels).clamp(self.min_weight)
-        return volume_features, volume_densities
+        ba, C, n = points_features.shape
+        base = points_2d.floor()
+        frac = points_2d - base
+        # corner offsets [4, 2] in (x, y); per-axis weight is (1 - frac)
+        # for the low corner and frac for the high corner
+        corner = points_2d.new_tensor(
+            [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+        per_axis = torch.where(
+            corner.view(1, 1, 4, 2) > 0,
+            frac[:, :, None, :], 1.0 - frac[:, :, None, :])
+        w4 = per_axis.prod(dim=-1)                       # [ba, n, 4]
+        cell = base[:, :, None, :] + corner              # [ba, n, 4, 2]
+        inb = ((cell >= 0)
+               & (cell < points_2d.new_tensor([float(W), float(H)]))
+               ).all(dim=-1)
+        flat = (cell[..., 1] * W + cell[..., 0]).long() * inb  # OOB -> 0
+        w4 = w4 * inb.type_as(w4)
+
+        flat = flat.reshape(ba, n * 4)
+        w4 = w4.reshape(ba, n * 4)
+        densities = points_features.new_zeros(ba, H * W)
+        densities.scatter_add_(1, flat, w4)
+
+        votes = points_features[:, :, :, None] * w4.view(ba, 1, n, 4)
+        votes = votes.reshape(ba, C, n * 4)
+        idx = flat[:, None, :].expand(ba, C, n * 4)
+        features = points_features.new_zeros(ba, C, H * W)
+        if self.scatter_mode in ("mean", "sum"):
+            features.scatter_add_(2, idx, votes)
+            if self.scatter_mode == "mean":
+                features = features / densities[:, None, :].clamp(
+                    self.min_weight)
+        elif self.scatter_mode == "max":
+            features = features.scatter_reduce(
+                2, idx, votes, reduce="amax", include_self=True)
+        else:
+            raise ValueError(self.scatter_mode)
+        return features, densities[:, :, None]
 
     def forward(self, depth, feats, p2p, mv_mask=None):
         """depth [B,N,H,W], feats [B,N,F,H,W], p2p [B,N,4,4]."""
