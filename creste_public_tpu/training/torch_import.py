@@ -261,6 +261,13 @@ def _rules() -> list[tuple[re.Pattern, Callable]]:
                        _p(m, "temporal_layer/rnn/cell_{i}/{c}/"
                              + ("kernel" if m["leaf"] == "weight" else "bias")),
                        t_conv if m["leaf"] == "weight" else t_id))
+    # pose-warped ConvGRU z-conditioning MLP (convgru.py:172-178: Linear 0
+    # and 2 of an nn.Sequential with a ReLU at index 1)
+    add(r"(?P<pre>(?:[\w.]+\.)?)temporal_layer\.rnn\.z_map\.(?P<k>0|2)\.(?P<leaf>weight|bias)$",
+        lambda m, sd: ("params",
+                       _p(m, "temporal_layer/rnn/z_map_{k}/"
+                             + ("kernel" if m["leaf"] == "weight" else "bias")),
+                       t_linear if m["leaf"] == "weight" else t_id))
 
     # learnable PE map (+ its decode head) + log-variance extras.
     # The torch param is `learnable_pe_map` [1, C, H, W] (distillation.py:64);
@@ -434,6 +441,8 @@ _TORCH_TEMPLATES = [
      "{pre_dot}temporal_layer.pre_rnn_conv.norm.{tleaf}", t_id),
     (r"(?P<pre>.*/)?temporal_layer/rnn/cell_(?P<i>\d+)/(?P<c>conv_gates|conv_can)/(?P<leaf>kernel|bias)$",
      "{pre_dot}temporal_layer.rnn.cell_list.{i}.{c}.{wleaf}", t_conv),
+    (r"(?P<pre>.*/)?temporal_layer/rnn/z_map_(?P<k>\d+)/(?P<leaf>kernel|bias)$",
+     "{pre_dot}temporal_layer.rnn.z_map.{k}.{wleaf}", t_linear),
     (r"(?P<pre>.*/)?learnable_pe_map$",
      "{pre_dot}learnable_pe_map", t_nchw_map),
     (r"(?P<pre>.*/)?pe_head_conv/(?P<leaf>kernel|bias)$",

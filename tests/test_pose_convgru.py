@@ -1,0 +1,332 @@
+"""Reference-exec goldens for the pose-warped ConvGRU path.
+
+Covers the last reference model capability with no counterpart (VERDICT
+round-3 missing #2): ``use_pose`` + ``_noisify`` + the SE(2) hidden-state
+warp (creste/models/blocks/convgru.py:123-349) and the ``warp`` wrapper
+(creste/utils/utils.py:6-38).
+
+The reference's ``warp`` calls kornia ``warp_affine`` (absent here); the
+reference function itself is executed verbatim with a minimal kornia stand-in
+built from torch's own ``affine_grid``/``grid_sample`` following kornia's
+published composition (normalize_homography with the align_corners=True
+pixel normalizer, then affine_grid/grid_sample with align_corners=False) —
+so the wrapper's mask-channel/precision/cast logic and the sampling ground
+truth are torch's, not ours.
+"""
+from __future__ import annotations
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from creste_public_tpu.models.blocks.convgru import ConvGRU
+from creste_public_tpu.ops.warp import (
+    affine_warp,
+    noisify_affine,
+    relative_bev_affine,
+)
+from tests.test_reference_exec import REF_ROOT, base_ns, exec_def, t2n
+
+pytestmark = pytest.mark.skipif(
+    not REF_ROOT.exists(), reason="reference checkout not available"
+)
+
+
+# ---------------------------------------------------------------------------
+# kornia warp_affine stand-in (torch ground truth for grid generation and
+# bilinear sampling; only the normalization algebra is reproduced here)
+# ---------------------------------------------------------------------------
+
+
+def _normal_transform_pixel(h, w, dtype):
+    """kornia.geometry.conversions.normal_transform_pixel: maps pixel
+    [0, S-1] to [-1, 1] (the align_corners=True normalizer)."""
+    m = torch.eye(3, dtype=dtype)
+    m[0, 0] = 2.0 / (w - 1)
+    m[1, 1] = 2.0 / (h - 1)
+    m[0, 2] = -1.0
+    m[1, 2] = -1.0
+    return m
+
+
+def _warp_affine_stub(src, M, dsize, align_corners=False, mode="bilinear",
+                      padding_mode="zeros"):
+    B, C, H, W = src.shape
+    oh, ow = dsize
+    M3 = torch.cat(
+        [M, torch.tensor([[[0.0, 0.0, 1.0]]], dtype=M.dtype).expand(B, 1, 3)],
+        dim=1,
+    )
+    a = _normal_transform_pixel(H, W, M.dtype)
+    b = _normal_transform_pixel(oh, ow, M.dtype)
+    dst_norm_trans_src_norm = b @ M3 @ torch.linalg.inv(a)
+    src_norm_trans_dst_norm = torch.linalg.inv(dst_norm_trans_src_norm)
+    grid = F.affine_grid(
+        src_norm_trans_dst_norm[:, :2], [B, C, oh, ow],
+        align_corners=align_corners,
+    )
+    return F.grid_sample(
+        src, grid.to(src.dtype), mode=mode, padding_mode=padding_mode,
+        align_corners=align_corners,
+    )
+
+
+def _exec_ref_warp():
+    ns = base_ns(T=types.SimpleNamespace(warp_affine=_warp_affine_stub))
+    fn, _ = exec_def("creste/utils/utils.py", "warp", ns)
+    return fn
+
+
+def _se2_pose(rng, scale=6.0):
+    th = rng.uniform(-0.4, 0.4)
+    p = np.eye(4, dtype=np.float64)
+    p[0, 0] = np.cos(th)
+    p[0, 1] = -np.sin(th)
+    p[1, 0] = np.sin(th)
+    p[1, 1] = np.cos(th)
+    p[0, 3] = rng.uniform(-scale, scale)
+    p[1, 3] = rng.uniform(-scale, scale)
+    p[2, 3] = rng.uniform(-0.5, 0.5)
+    return p
+
+
+def _2d(pose):
+    return pose[np.ix_([0, 1, 3], [0, 1, 3])]
+
+
+# ---------------------------------------------------------------------------
+# warp wrapper golden: reference warp (float64, mask channel) vs affine_warp
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("hw", [(16, 16), (12, 20)])
+def test_reference_warp_golden(hw):
+    ref_warp = _exec_ref_warp()
+    rng = np.random.default_rng(3)
+    H, W = hw
+    B, C = 3, 5
+    x = rng.normal(0, 1, (B, C, H, W)).astype(np.float32)
+    Ms = np.stack(
+        [
+            (np.linalg.inv(_2d(_se2_pose(rng))) @ _2d(_se2_pose(rng)))[:2]
+            for _ in range(B)
+        ]
+    )
+
+    out_ref, mask_ref = ref_warp(
+        torch.tensor(x), torch.tensor(Ms, dtype=torch.float64),
+        interpolation="bilinear", precision=torch.float64,
+    )
+    out_j, mask_j = affine_warp(
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(Ms.astype(np.float32)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j).transpose(0, 3, 1, 2), t2n(out_ref), atol=2e-5
+    )
+    # mask threshold sits at interpolation-weight boundaries; allow a thin
+    # disagreement rim from f32-vs-f64 weight rounding
+    mm_ref = t2n(mask_ref).astype(bool)
+    assert (np.asarray(mask_j) != mm_ref).mean() < 0.01
+    assert mm_ref.any() and (~mm_ref).any()
+
+
+def test_relative_affine_matches_reference_composition():
+    rng = np.random.default_rng(5)
+    inp = np.stack([_se2_pose(rng) for _ in range(4)])
+    cell = np.stack([_se2_pose(rng) for _ in range(4)])
+    want = np.stack(
+        [(np.linalg.inv(_2d(a)) @ _2d(b))[:2] for a, b in zip(inp, cell)]
+    )
+    got = relative_bev_affine(
+        jnp.asarray(inp.astype(np.float32)), jnp.asarray(cell.astype(np.float32))
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# _noisify golden: fixed noise injected into both implementations
+# ---------------------------------------------------------------------------
+
+
+def test_reference_noisify_golden(monkeypatch):
+    cell_cls, ns = exec_def(
+        "creste/models/blocks/convgru.py", "ConvGRUCell",
+        Variable=torch.autograd.Variable,
+    )
+    gru_cls, _ = exec_def("creste/models/blocks/convgru.py", "ConvGRU", ns)
+
+    rng = np.random.default_rng(11)
+    B = 4
+    M = np.stack(
+        [(np.linalg.inv(_2d(_se2_pose(rng))) @ _2d(_se2_pose(rng)))[:2]
+         for _ in range(B)]
+    ).astype(np.float32)
+    rot = rng.normal(0, 1, (B,)).astype(np.float32)
+    trans = rng.normal(0, 1, (B, 2)).astype(np.float32)
+
+    draws = iter([torch.tensor(rot), torch.tensor(trans)])
+    fake_torch = types.SimpleNamespace(
+        randn=lambda *a, **k: next(draws),
+        sin=torch.sin, cos=torch.cos, matmul=torch.matmul,
+    )
+    ns["torch"] = fake_torch
+    ref = gru_cls._noisify(
+        types.SimpleNamespace(), torch.tensor(M)
+    )  # self unused by the method body
+
+    got = noisify_affine(jnp.asarray(M), jnp.asarray(rot), jnp.asarray(trans))
+    np.testing.assert_allclose(np.asarray(got), t2n(ref), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# full pose-warped ConvGRU forward golden: reference class executed with its
+# own warp (kornia stubbed) vs the flax ConvGRU, two chunks with carried
+# hidden state + cell poses, use_z on
+# ---------------------------------------------------------------------------
+
+
+def test_reference_pose_convgru_golden():
+    ref_warp = _exec_ref_warp()
+    ns = base_ns(Variable=torch.autograd.Variable, warp=ref_warp)
+    exec_def("creste/models/blocks/convgru.py", "ConvGRUCell", ns)
+    gru_cls, _ = exec_def("creste/models/blocks/convgru.py", "ConvGRU", ns)
+
+    B, T, H, W = 2, 3, 12, 12
+    Cin = Ch = 6
+    ref = gru_cls(
+        input_size=(H, W), input_dim=Cin, hidden_dim=[Ch],
+        kernel_size=(3, 3), num_layers=1, dtype=torch.FloatTensor,
+        batch_first=True, bias=True, return_all_layers=True,
+        use_pose=True, use_z=True,
+    )
+    ref.eval()
+
+    rng = np.random.default_rng(17)
+
+    def rnd(*shape):
+        return rng.normal(0, 0.5, shape).astype(np.float32)
+
+    w = {
+        "gates_w": rnd(2 * Ch, Cin + Ch, 3, 3), "gates_b": rnd(2 * Ch),
+        "can_w": rnd(Ch, Cin + Ch, 3, 3), "can_b": rnd(Ch),
+        "z0_w": rnd(Ch, 1), "z0_b": rnd(Ch),
+        "z2_w": rnd(Ch, Ch), "z2_b": rnd(Ch),
+    }
+    with torch.no_grad():
+        ref.cell_list[0].conv_gates.weight.copy_(torch.tensor(w["gates_w"]))
+        ref.cell_list[0].conv_gates.bias.copy_(torch.tensor(w["gates_b"]))
+        ref.cell_list[0].conv_can.weight.copy_(torch.tensor(w["can_w"]))
+        ref.cell_list[0].conv_can.bias.copy_(torch.tensor(w["can_b"]))
+        ref.z_map[0].weight.copy_(torch.tensor(w["z0_w"]))
+        ref.z_map[0].bias.copy_(torch.tensor(w["z0_b"]))
+        ref.z_map[2].weight.copy_(torch.tensor(w["z2_w"]))
+        ref.z_map[2].bias.copy_(torch.tensor(w["z2_b"]))
+
+    variables = {
+        "params": {
+            "cell_0": {
+                "conv_gates": {
+                    "kernel": w["gates_w"].transpose(2, 3, 1, 0),
+                    "bias": w["gates_b"],
+                },
+                "conv_can": {
+                    "kernel": w["can_w"].transpose(2, 3, 1, 0),
+                    "bias": w["can_b"],
+                },
+            },
+            "z_map_0": {"kernel": w["z0_w"].T, "bias": w["z0_b"]},
+            "z_map_2": {"kernel": w["z2_w"].T, "bias": w["z2_b"]},
+        }
+    }
+    ours = ConvGRU(
+        hidden_dims=(Ch,), kernel=(3, 3), use_pose=True, use_z=True
+    )
+
+    # smooth SE(2) trajectory (BEV-pixel-scale motion so the warp moves
+    # content without emptying the grid)
+    def traj(start):
+        poses = []
+        p = np.eye(4)
+        p[0, 3], p[1, 3] = start, -start
+        for t in range(T):
+            th = 0.12 * t + start * 0.01
+            q = np.eye(4)
+            q[0, 0], q[0, 1] = np.cos(th), -np.sin(th)
+            q[1, 0], q[1, 1] = np.sin(th), np.cos(th)
+            q[0, 3] = p[0, 3] + 1.5 * t
+            q[1, 3] = p[1, 3] - 0.8 * t
+            q[2, 3] = 0.3 * t
+            poses.append(q)
+        return np.stack(poses)
+
+    pose_np = np.stack([traj(0.0), traj(2.0)])  # [B,T,4,4]
+    pose_t = torch.tensor(pose_np[:, :, None], dtype=torch.float32)
+    pose_j = jnp.asarray(pose_np.astype(np.float32))
+
+    x1 = rnd(B, T, Cin, H, W)
+    x2 = rnd(B, T, Cin, H, W)
+
+    with torch.no_grad():
+        outs1, state1 = ref(torch.tensor(x1), pose=pose_t)
+        outs2, state2 = ref(
+            torch.tensor(x2), pose=pose_t, hidden_state=(
+                [state1[0][0]] + [state1[1][0]]
+            ),
+        )
+
+    ys1, fin1 = ours.apply(
+        variables, jnp.asarray(x1.transpose(0, 1, 3, 4, 2)), pose=pose_j
+    )
+    ys2, fin2 = ours.apply(
+        variables, jnp.asarray(x2.transpose(0, 1, 3, 4, 2)),
+        hidden=fin1, pose=pose_j,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(ys1).transpose(0, 1, 4, 2, 3), t2n(outs1[0]), atol=3e-5
+    )
+    # chunk 2 re-warps the carried hidden state by inv(pose_0) @ cell_pose
+    np.testing.assert_allclose(
+        np.asarray(ys2).transpose(0, 1, 4, 2, 3), t2n(outs2[0]), atol=3e-5
+    )
+    # carried cell pose equals the last input pose
+    np.testing.assert_allclose(
+        np.asarray(fin2[0][1]), pose_np[:, -1].astype(np.float32), atol=0
+    )
+    assert bool(np.asarray(fin2[0][2]).all())
+
+
+def test_pose_convgru_trains_under_jit():
+    """Gradient flows through warp + cell + z_map under jit (temporal
+    training viability; noisy_pose exercised via the 'noise' rng)."""
+    B, T, H, W, C = 2, 3, 8, 8, 4
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.normal(0, 0.5, (B, T, H, W, C)).astype(np.float32))
+    pose = np.tile(np.eye(4, dtype=np.float32), (B, T, 1, 1))
+    pose[:, :, 0, 3] = np.arange(T) * 1.0
+    pose = jnp.asarray(pose)
+
+    m = ConvGRU(hidden_dims=(C,), kernel=(3, 3), use_pose=True,
+                noisy_pose=True)
+    vs = m.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        x, pose=pose,
+    )
+
+    @jax.jit
+    def loss_fn(params, x, pose):
+        ys, _ = m.apply(
+            {"params": params}, x, pose=pose,
+            rngs={"noise": jax.random.PRNGKey(2)},
+        )
+        return jnp.mean(ys ** 2)
+
+    g = jax.grad(loss_fn)(vs["params"], x, pose)
+    norms = [float(jnp.linalg.norm(v)) for v in jax.tree.leaves(g)]
+    assert all(np.isfinite(norms)) and max(norms) > 0
