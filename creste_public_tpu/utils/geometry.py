@@ -263,6 +263,113 @@ def fov_sector_overlap(
     return out
 
 
+def polygon_area(verts: np.ndarray) -> float:
+    """Shoelace area of a simple polygon [N, 2] (orientation-free)."""
+    v = np.asarray(verts, np.float64)
+    if len(v) < 3:
+        return 0.0
+    w = np.roll(v, -1, axis=0)
+    return abs(np.sum(v[:, 0] * w[:, 1] - w[:, 0] * v[:, 1])) / 2.0
+
+
+def convex_clip(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman clip of polygon ``subject`` [N, 2] by CONVEX
+    polygon ``clip`` [M, 2] — the pure-NumPy replacement for the
+    reference's shapely ``Polygon.intersection`` (creste/utils/
+    geometry.py:3,78-81). Exact up to float arithmetic for convex inputs
+    (the reference's FOV sectors are convex for fov < 180°). Each clip
+    edge is processed with fully vectorised inner math."""
+    out = np.asarray(subject, np.float64)
+    clip = np.asarray(clip, np.float64)
+    # CCW orientation so "inside" is the left half-plane of every edge
+    w = np.roll(clip, -1, axis=0)
+    if np.sum(clip[:, 0] * w[:, 1] - w[:, 0] * clip[:, 1]) < 0:
+        clip = clip[::-1]
+    for a, b in zip(clip, np.roll(clip, -1, axis=0)):
+        if len(out) == 0:
+            break
+        if a[0] == b[0] and a[1] == b[1]:  # degenerate (duplicated apex)
+            continue
+        p = out
+        q = np.roll(out, -1, axis=0)
+        e = b - a
+        cp = e[0] * (p[:, 1] - a[1]) - e[1] * (p[:, 0] - a[0])
+        cq = e[0] * (q[:, 1] - a[1]) - e[1] * (q[:, 0] - a[0])
+        keep_p = cp >= 0
+        crossing = keep_p != (cq >= 0)
+        denom = np.where(crossing, cp - cq, 1.0)
+        t = np.where(crossing, cp / denom, 0.0)
+        x = p + t[:, None] * (q - p)
+        # ordered emit per edge: p (if inside) then crossing point
+        cands = np.empty((2 * len(p), 2), np.float64)
+        cands[0::2] = p
+        cands[1::2] = x
+        mask = np.empty(2 * len(p), bool)
+        mask[0::2] = keep_p
+        mask[1::2] = crossing
+        out = cands[mask]
+    return out
+
+
+def sector_polygon(
+    center_xy: np.ndarray,
+    start_deg: float,
+    end_deg: float,
+    radius: float,
+    steps: int = 200,
+) -> np.ndarray:
+    """The reference's FOV sector polygon, vertex-for-vertex
+    (creste/utils/geometry.py:5-24 ``sector``): apex, ``steps+1`` arc
+    samples, apex again — built with *compass* angles (x = sin, y = cos,
+    geometry.py:7), the quirk the on-disk overlap graphs carry."""
+    cx, cy = float(center_xy[0]), float(center_xy[1])
+    if start_deg > end_deg:
+        start_deg -= 360.0
+    ang = np.deg2rad(np.linspace(start_deg, end_deg, steps + 1))
+    arc_x = cx + np.sin(ang) * radius
+    arc_y = cy + np.cos(ang) * radius
+    verts = np.empty((steps + 3, 2), np.float64)
+    verts[0] = (cx, cy)
+    verts[1:-1, 0] = arc_x
+    verts[1:-1, 1] = arc_y
+    verts[-1] = (cx, cy)
+    return verts
+
+
+def fov_polygon_overlap(
+    query_se2: np.ndarray,
+    db_se2: np.ndarray,
+    fov_deg: float = 70.0,
+    view_dist: float = 12.8,
+    max_dist: float = 19.2,
+) -> np.ndarray:
+    """Polygon-EXACT overlap fractions (convex clip + shoelace), matching
+    the reference's shapely path (geometry.py:26-109) to float precision —
+    same coarse distance gate, identical 202-gon sector geometry.
+
+    Args: as ``fov_sector_overlap``. Returns [N] fractions in [0, 1]."""
+    q = np.asarray(query_se2, np.float64)
+    db = np.asarray(db_se2, np.float64)
+    out = np.zeros((db.shape[0],), np.float64)
+    d = np.linalg.norm(db[:, :2, 2] - q[:2, 2], axis=1)
+    cand = np.nonzero(d < max_dist)[0]
+    if len(cand) == 0:
+        return out
+
+    def pose_sector(pose):
+        heading = np.degrees(np.arctan2(pose[1, 0], pose[0, 0]))
+        return sector_polygon(
+            pose[:2, 2], heading - fov_deg / 2, heading + fov_deg / 2,
+            view_dist,
+        )
+
+    qpoly = pose_sector(q)
+    qarea = polygon_area(qpoly)
+    for i in cand:
+        out[i] = polygon_area(convex_clip(qpoly, pose_sector(db[i]))) / qarea
+    return out
+
+
 def get_overlapping_views(
     query_idx: int,
     db_poses_se3: np.ndarray,
@@ -271,20 +378,28 @@ def get_overlapping_views(
     fov_deg: float = 70.0,
     view_dist: float = 12.8,
     max_dist: float = 19.2,
-    grid: int = 64,
+    grid: int | None = None,
 ) -> np.ndarray:
     """Indices of db poses whose FOV overlap ratio with the query lies
     strictly inside (tp_min, tp_max) — geometry.py:87 contract. The query
     pose itself is excluded by the same filter (its self-overlap ratio is
     1.0 > tp_max; the reference's explicit exclusion is commented out at
-    geometry.py:104)."""
+    geometry.py:104).
+
+    Default path is the polygon-exact clip (``fov_polygon_overlap``);
+    pass ``grid`` to use the faster rasterised approximation instead."""
     se2 = np.zeros((db_poses_se3.shape[0], 3, 3))
     se2[:, :2, :2] = db_poses_se3[:, :2, :2]
     se2[:, :2, 2] = db_poses_se3[:, :2, 3]
     se2[:, 2, 2] = 1.0
-    frac = fov_sector_overlap(
-        se2[query_idx], se2, fov_deg, view_dist, max_dist, grid=grid
-    )
+    if grid is None:
+        frac = fov_polygon_overlap(
+            se2[query_idx], se2, fov_deg, view_dist, max_dist
+        )
+    else:
+        frac = fov_sector_overlap(
+            se2[query_idx], se2, fov_deg, view_dist, max_dist, grid=grid
+        )
     ok = (frac > tp_min) & (frac < tp_max)
     return np.nonzero(ok)[0]
 

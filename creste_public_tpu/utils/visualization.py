@@ -427,3 +427,179 @@ def save_png(path: str, img: Array) -> None:
     from PIL import Image
 
     Image.fromarray(img).save(path)
+
+
+def resize_and_pad_image(
+    image: Array, max_height: int, max_width: int
+) -> Array:
+    """Aspect-preserving resize into (max_height, max_width) with centered
+    black padding (reference resize_and_pad_image, visualization.py:29-75)."""
+    from PIL import Image
+
+    img = np.asarray(image)
+    oh, ow = img.shape[:2]
+    ratio = min(max_height / oh, max_width / ow)
+    nh, nw = int(oh * ratio), int(ow * ratio)
+    resized = np.asarray(
+        Image.fromarray(img).resize((nw, nh), Image.BILINEAR)
+    )
+    top = (max_height - nh) // 2
+    left = (max_width - nw) // 2
+    out_shape = (max_height, max_width) + img.shape[2:]
+    out = np.zeros(out_shape, img.dtype)
+    out[top : top + nh, left : left + nw] = resized
+    return out
+
+
+def _minmax_u8(x: Array) -> Array:
+    """Whole-array min-max normalization to uint8 [0, 255] (the cv2
+    NORM_MINMAX the reference uses at visualization.py:144-148)."""
+    x = np.asarray(x, np.float64)
+    lo, hi = x.min(), x.max()
+    scale = 255.0 / (hi - lo) if hi > lo else 0.0
+    return np.round((x - lo) * scale).astype(np.uint8)
+
+
+def save_depth_color_image(
+    rgb: Array, depth: Array, img_path: str, debug: bool = False
+) -> Array:
+    """Depth-over-RGB composite: depth clipped to 12.8 m, turbo-colored,
+    blended 0.8/0.2 over the normalized RGB, written to ``img_path``;
+    returns the colorized depth (reference save_depth_color_image,
+    visualization.py:133-159)."""
+    depth = np.asarray(depth).clip(0, 12.8)
+    norm_rgb = _minmax_u8(rgb)
+    if norm_rgb.ndim == 2:
+        norm_rgb = np.stack([norm_rgb] * 3, -1)
+    norm_depth = _colormap("turbo")[_minmax_u8(depth)]
+    alpha = 0.2
+    blend = np.clip(
+        np.round(alpha * norm_rgb.astype(np.float64)
+                 + (1 - alpha) * norm_depth.astype(np.float64)),
+        0, 255,
+    ).astype(np.uint8)
+    if debug:
+        print("Saving depth color image to", img_path)
+    save_png(img_path, blend)
+    return norm_depth
+
+
+def apply_alpha_to_image(
+    image: Array, alpha_mask: Array, background: Array
+) -> Array:
+    """Per-pixel alpha blend of ``image`` over a background color/image
+    (reference apply_alpha_to_image, visualization.py:918-937)."""
+    alpha = np.expand_dims(np.asarray(alpha_mask), -1)
+    return alpha * np.asarray(image) + (1 - alpha) * np.asarray(background)
+
+
+# LiDAR -> BEV-display transform shared by the 3-D debug views
+# (reference visualization.py:540-546 / :725-731): reflect x, then swap
+# and negate x/y so forward points up in the rendered image.
+_LIDAR2MAP_VIS = np.array(
+    [[0, -1, 0, 0], [-1, 0, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float32
+)
+
+
+def _to_vis_frame(xyz: Array) -> Array:
+    pts = np.asarray(xyz, np.float32).reshape(-1, 3).copy()
+    pts[:, 0] = -pts[:, 0]
+    return pts @ _LIDAR2MAP_VIS[:3, :3].T
+
+
+def _scatter_topdown(
+    xyz: Array, colors: Array | None, size_px: int, half_extent: float,
+    center: tuple[float, float] = (0.0, 0.0),
+) -> Array:
+    """Orthographic top-down rasterization of a colored point cloud (the
+    deterministic stand-in for the reference's vispy elevation=90 camera)."""
+    pts = np.asarray(xyz, np.float32).reshape(-1, 3)
+    scale = size_px / (2 * half_extent)
+    cx = (pts[:, 0] - center[0]) * scale + size_px / 2
+    cy = size_px / 2 - (pts[:, 1] - center[1]) * scale
+    ix = np.floor(cx).astype(np.int64)
+    iy = np.floor(cy).astype(np.int64)
+    ok = (ix >= 0) & (ix < size_px) & (iy >= 0) & (iy < size_px)
+    img = np.zeros((size_px, size_px, 3), np.uint8)
+    if colors is None:
+        lut = _colormap("turbo")
+        z = pts[:, 2]
+        zi = _minmax_u8(z) if len(z) else np.zeros(0, np.uint8)
+        col = lut[zi]
+    else:
+        col = np.asarray(colors).reshape(-1, 3)
+        if col.dtype != np.uint8:
+            col = np.clip(
+                col * 255 if col.max() <= 1.0 + 1e-6 else col, 0, 255
+            ).astype(np.uint8)
+    # later points overwrite earlier ones (painter order, like the scatter)
+    img[iy[ok], ix[ok]] = col[ok]
+    return img
+
+
+def visualize_pc_3d(pc: Array, filepath: str | None = None) -> Array:
+    """Top-down render of a LiDAR point cloud in the BEV display frame
+    (reference visualize_pc_3d, visualization.py:531-577 — vispy camera
+    at elevation 90 replaced by a deterministic orthographic raster)."""
+    pts = _to_vis_frame(np.asarray(pc)[:, :3])
+    img = _scatter_topdown(pts, None, 256, half_extent=20.9,
+                           center=(0.0, 10.0))
+    if filepath is not None:
+        save_png(filepath, img)
+    return img
+
+
+def visualize_rgbd_3d(
+    rgbd: Array,
+    p2p: Array,
+    num_scans: int = 1,
+    num_cams: int = 2,
+    filepath: str | None = None,
+    do_z_filtering: bool = False,
+    z_max: float = 2.0,
+) -> Array:
+    """Backproject RGBD frames and render the colored cloud top-down
+    (reference visualize_rgbd_3d, visualization.py:669-816).
+
+    rgbd: [B*T*S, 4, H, W] with depth in mm in channel 3 and BGR color in
+    channels 0-2; p2p: [B*T*S, 4, 4] pixel->point transforms. All frames'
+    points are aggregated into one view labelled 'Input'.
+    """
+    import jax.numpy as jnp
+
+    from creste_public_tpu.utils.geometry import backproject_depth
+
+    rgbd = np.asarray(rgbd)
+    p2p = np.asarray(p2p, np.float32)
+    BTS, C, H, W = rgbd.shape
+    assert C == 4, f"expected 4 channels, got {C}"
+    assert BTS % num_cams == 0, (
+        f"frames ({BTS}) must divide cameras ({num_cams})"
+    )
+    all_xyz, all_rgb = [], []
+    for i in range(BTS):
+        depth_m = rgbd[i, 3].astype(np.float32) / 1000.0
+        mask = depth_m > 0
+        xyz = np.asarray(
+            backproject_depth(jnp.asarray(depth_m), jnp.asarray(p2p[i]))
+        )
+        if do_z_filtering:
+            xyz = xyz * (xyz[..., 2:3] < z_max)
+        rgb = rgbd[i, [2, 1, 0]].transpose(1, 2, 0)  # BGR -> RGB
+        all_xyz.append(_to_vis_frame(xyz[mask]))
+        all_rgb.append(rgb[mask])
+    pts = np.concatenate(all_xyz, 0)
+    cols = np.concatenate(all_rgb, 0)
+    img = _scatter_topdown(pts, cols, 256, half_extent=9.0,
+                           center=(0.0, 4.0))
+    img = draw_text_on_image(img, "Input", (10, 15))
+    if filepath is not None:
+        save_png(filepath, img)
+    return img
+
+
+def visualize_action_image(img, actions_in, transform, batch_idx=0):
+    """Parity stub: the reference's visualize_action_image
+    (visualization.py:1111-1121) has an empty body (``pass``) — kept so
+    callers porting from the reference find the same no-op surface."""
+    return None

@@ -587,6 +587,15 @@ def test_reference_get_overlapping_views():
     }
     assert ref_ids - near == ours_ids - near
 
+    # polygon-EXACT path (VERDICT round-3 missing #4): ratios match the
+    # reference's shapely-path numbers to float precision and the id set
+    # matches exactly, no margin carve-out
+    frac_exact = geo.fov_polygon_overlap(se2[0], se2)
+    for i, r in ratio.items():
+        np.testing.assert_allclose(frac_exact[i], r, atol=1e-9,
+                                   err_msg=str(i))
+    assert ref_ids == set(geo.get_overlapping_views(0, db).tolist())
+
 
 # ---------------------------------------------------------------------------
 # Wave 4: data-path helpers (resize_and_crop, resampling, pose chains,
