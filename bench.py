@@ -51,6 +51,15 @@ def main() -> None:
                          "bound' premise was wrong for TPU/XLA and the "
                          "custom call just breaks fusion around it. Kept "
                          "opt-in; parity-safe (dev 2.6e-4, BN-fold only)")
+    ap.add_argument("--fold-bn", action="store_true",
+                    help="also benchmark whole-graph inference BN folding "
+                         "(every BatchNorm -> one per-channel multiply-add "
+                         "at trace time; same checkpoint). MEASURED NO-OP "
+                         "on v5e (130.3 Hz f32 / 145.7 Hz bf16 vs "
+                         "131.6 / 146.9 unfolded, within noise): XLA "
+                         "already fuses the inference BN math into the "
+                         "surrounding convs, so there are no islands left "
+                         "to remove. Kept opt-in as evidence")
     ap.add_argument("--batch", type=int, default=0,
                     help="also measure offline/serving throughput at "
                          "batch N (frames/s; amortises per-launch "
@@ -104,8 +113,24 @@ def main() -> None:
     # deviation check (each jax.jit(fn) wrapper would recompile the full
     # production graph — minutes over the tunnel)
     out_f32 = None
-    if args.fused or args.bf16:
+    if args.fused or args.bf16 or args.fold_bn:
         out_f32 = jax.jit(fn)(variables, rgbd, p2p)
+
+    if args.fold_bn:
+        from creste_public_tpu.runtime.precision import max_abs_deviation
+
+        def run_fold():
+            fnF, _ = entry(fold_bn=True, variables=variables)
+            per_F, _ = serialized_latency(
+                fnF, variables, rgbd, p2p, "traversability_preds"
+            )
+            out_F = jax.jit(fnF)(variables, rgbd, p2p)
+            line["fold_bn_hz"] = round(1.0 / per_F, 2)
+            line["fold_bn_reward_max_dev"] = round(max_abs_deviation(
+                out_f32["traversability_preds"],
+                out_F["traversability_preds"]), 8)
+
+        variant("fold_bn", run_fold)
 
     if args.fused:
         from creste_public_tpu.runtime.precision import max_abs_deviation
@@ -148,6 +173,26 @@ def main() -> None:
                 cs16["flops"], cs16["bytes"], per_bf16).items()})
 
         variant("bf16", run_bf16)
+
+    if args.bf16 and args.fold_bn:
+        def run_bf16_fold():
+            # the composed opt-in fast path: bf16 activation stream AND
+            # folded BNs (no f32 norm islands left between the convs)
+            fnBF, _ = entry(compute_dtype="bfloat16", fold_bn=True,
+                            variables=variables)
+            per_BF, _ = serialized_latency(
+                fnBF, vb, rgbd, p2p, "traversability_preds"
+            )
+            out_BF = jax.jit(fnBF)(vb, rgbd, p2p)
+            line["bf16_fold_bn_hz"] = round(1.0 / per_BF, 2)
+            line["bf16_fold_bn_reward_max_dev"] = round(max_abs_deviation(
+                out_f32["traversability_preds"],
+                out_BF["traversability_preds"]), 6)
+            cs = cost_stats(fnBF, vb, rgbd, p2p)
+            line.update({f"bf16_fold_bn_{k}": v for k, v in mfu_fields(
+                cs["flops"], cs["bytes"], per_BF).items()})
+
+        variant("bf16_fold_bn", run_bf16_fold)
 
     if args.batch and args.batch > 1:
         def run_batch():

@@ -13,12 +13,88 @@ does not sync BN).
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Array = Any
+
+# Trace-time switch for whole-graph inference BN folding (see
+# folded_inference_bn below). A plain module global is safe: jit traces the
+# wrapped fn under the context manager, so the flag's value is baked into
+# the compiled graph.
+_BN_FOLD = {"on": False}
+
+
+@contextlib.contextmanager
+def folded_inference_bn(on: bool = True):
+    """Fold every BatchNorm into a per-channel multiply-add while tracing.
+
+    Inference-only (train=False paths): each BN collapses to
+    ``x * w + b`` with ``w = scale * rsqrt(var + eps)`` and
+    ``b = bias - mean * w`` — the classic deploy-time BN fold, done at the
+    graph level because every BN in the model zoo goes through
+    ``batch_norm()``. The constants are computed in f32 and cast to the
+    stream dtype, so a bfloat16 activation stream crosses the norm with ONE
+    fused multiply-add instead of an f32 upcast + subtract + scale +
+    downcast. Param/stat tree paths are identical to nn.BatchNorm, so
+    the same checkpoint drives both graphs.
+
+    MEASURED RESULT (v5e, bench.py --fold-bn): a latency NO-OP — 130.3 Hz
+    f32 / 145.7 Hz bf16 folded vs 131.6 / 146.9 unfolded (within noise) on
+    the deployment graph. XLA already fuses the inference-mode BN math into
+    the adjacent convs, so there is no separate norm pass to remove; the
+    bf16 graph's gap to the bandwidth roofline comes from elsewhere (the
+    f32 geometry islands and scatter, not the norms). Kept opt-in as the
+    recorded evidence for that conclusion.
+
+    Numerics: pure float reassociation in f32 mode; in bf16 mode the folded
+    constants quantise to bf16 — opt-in, deviation reported by the bench.
+    """
+    prev = _BN_FOLD["on"]
+    _BN_FOLD["on"] = on
+    try:
+        yield
+    finally:
+        _BN_FOLD["on"] = prev
+
+
+class FoldedBatchNorm(nn.Module):
+    """Inference-folded BatchNorm: ``x * w + b`` in the stream dtype.
+
+    Registers the exact same variables as nn.BatchNorm (params
+    ``scale``/``bias``, batch_stats ``mean``/``var``, all f32) so
+    checkpoints are interchangeable with the unfolded graph.
+    """
+
+    epsilon: float = 1e-5
+    scale_init: Any = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        C = x.shape[-1]
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+        )
+        scale = self.param("scale", self.scale_init, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        w = scale * jax.lax.rsqrt(var.value + self.epsilon)
+        b = bias - mean.value * w
+        return x * w.astype(x.dtype) + b.astype(x.dtype)
+
+
+# Flax auto-names unnamed submodules f"{cls.__name__}_{i}" (module.py:1358).
+# Call sites that don't pass an explicit name must produce the SAME tree
+# paths in folded and unfolded graphs ("BatchNorm_0", not
+# "FoldedBatchNorm_0") or checkpoints stop interchanging; __qualname__
+# keeps the real class for debugging.
+FoldedBatchNorm.__name__ = "BatchNorm"
 
 
 def batch_norm(train: bool, name: str | None = None, momentum: float = 0.9,
@@ -34,6 +110,12 @@ def batch_norm(train: bool, name: str | None = None, momentum: float = 0.9,
     no-op for activation traffic). In float32 mode this wrapper changes
     nothing. Param naming/paths are identical to bare nn.BatchNorm.
     """
+    if _BN_FOLD["on"] and not train:
+        return FoldedBatchNorm(
+            epsilon=epsilon,
+            name=name,
+            **({} if scale_init is None else {"scale_init": scale_init}),
+        )
     kwargs = {} if scale_init is None else {"scale_init": scale_init}
     bn = nn.BatchNorm(
         use_running_average=not train,

@@ -22,7 +22,7 @@ import numpy as np
 
 def build_inference_fn(
     cfg: Any, variables: Any, fused_reward: bool = False,
-    platform: str | None = None,
+    platform: str | None = None, fold_bn: bool = False,
 ) -> tuple[Callable, Any]:
     """Returns (fn(variables, rgbd, p2p) -> outputs, jitted fn).
 
@@ -35,7 +35,12 @@ def build_inference_fn(
     platform export); it controls whether the fused kernel lowers as a
     real Mosaic call ('tpu') or through the pallas interpreter. Default:
     the current backend.
+    ``fold_bn=True`` folds every BatchNorm in the graph into a per-channel
+    multiply-add at trace time (models.blocks.convnets.folded_inference_bn)
+    — same checkpoint, reassociated numerics; the lever that removes the
+    per-BN f32 islands from the bf16 activation stream.
     """
+    from creste_public_tpu.models.blocks.convnets import folded_inference_bn
     from creste_public_tpu.models.lfd import MaxEntIRL
 
     cfg = dict(cfg.to_dict() if hasattr(cfg, "to_dict") else cfg)
@@ -44,7 +49,8 @@ def build_inference_fn(
 
     if not fused_reward:
         def fn(variables, rgbd, p2p):
-            return model.apply(variables, rgbd, p2p, train=False)
+            with folded_inference_bn(fold_bn):
+                return model.apply(variables, rgbd, p2p, train=False)
 
         return fn, jax.jit(fn)
 
@@ -68,7 +74,8 @@ def build_inference_fn(
             "batch_stats": variables.get("batch_stats", {}).get(
                 "backbone", {}),
         }
-        outputs = dict(backbone.apply(bvars, rgbd, p2p, train=False))
+        with folded_inference_bn(fold_bn):
+            outputs = dict(backbone.apply(bvars, rgbd, p2p, train=False))
         iv = build_input_view(outputs, input_keys, ds)
         rvars = {
             "params": variables["params"]["traversability_head"]["r"],

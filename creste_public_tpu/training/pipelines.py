@@ -109,7 +109,32 @@ def make_loss_closure(
         if compute_dtype is not None:
             from creste_public_tpu.runtime.precision import cast_variables
 
-            variables = cast_variables(variables, compute_dtype)
+            if stage == "traversability":
+                # stage 3: the cast applies to the FROZEN backbone only —
+                # its forward is ~60% of the step and carries no gradient
+                # (input_view is stop-gradient, vin.py:110-117), while the
+                # IRL math (reward net, VI/SVF, penalty) stays exact f32
+                # (build_input_view casts the reward input back to f32).
+                # Measured on v5e @ B=10: 187.5 ms/step vs 211.9 ms f32
+                # (53.3 vs 47.2 samples/s, train_step_bench --stage
+                # traversability --dtype bfloat16).
+                variables = {
+                    "params": {
+                        **variables["params"],
+                        "backbone": cast_variables(
+                            variables["params"]["backbone"], compute_dtype
+                        ),
+                    },
+                    "batch_stats": {
+                        **variables["batch_stats"],
+                        "backbone": cast_variables(
+                            variables["batch_stats"].get("backbone", {}),
+                            compute_dtype,
+                        ),
+                    },
+                }
+            else:
+                variables = cast_variables(variables, compute_dtype)
         outputs, mutated = model.apply(
             variables,
             *args,

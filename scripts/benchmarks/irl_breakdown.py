@@ -130,6 +130,57 @@ def main():
                                         lambda i: (r0 + jnp.float32(i) * 1e-4,),
                                         args.iters)
 
+    # finer attribution of the loss/backward tail: fwd+loss with NO grad,
+    # value_and_grad WITHOUT the gradient penalty (reward_weight=0 closure),
+    # and the bare optimizer update on ready-made grads
+    closure = pipelines.make_loss_closure("traversability", model, lm)
+
+    @jax.jit
+    def fwd_loss(p, bs, b, r):
+        total, _ = closure(p, bs, b, r)
+        return total
+
+    grad_fn = jax.jit(jax.value_and_grad(closure, has_aux=True))
+
+    lm_nopen = type(lm)(
+        {**cfg.to_dict(),
+         "loss": [
+             {**lc, "reward_weight": 0.0} if lc.get("name") == "MaxEntIRLLoss"
+             else lc
+             for lc in cfg.to_dict()["loss"]
+         ]}
+    )
+    closure_np = pipelines.make_loss_closure("traversability", model, lm_nopen)
+    grad_fn_np = jax.jit(jax.value_and_grad(closure_np, has_aux=True))
+
+    hb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def fresh_batch(i):
+        b = dict(hb)
+        b["image"] = hb["image"] + jnp.float32(i) * 1e-4
+        return (state.params, state.batch_stats, b, rng)
+
+    results["fwd_loss_ms"] = timed(fwd_loss, fresh_batch, args.iters)
+    results["grad_ms"] = timed(lambda *a: grad_fn(*a)[1], fresh_batch,
+                               args.iters)
+    results["grad_nopenalty_ms"] = timed(lambda *a: grad_fn_np(*a)[1],
+                                         fresh_batch, args.iters)
+
+    (_, _), g0 = grad_fn(*fresh_batch(0))
+
+    @jax.jit
+    def opt_only(g, opt_state, params):
+        updates, new_opt = tx.update(g, opt_state, params)
+        import optax
+
+        return optax.apply_updates(params, updates)
+
+    results["opt_only_ms"] = timed(
+        opt_only,
+        lambda i: (jax.tree_util.tree_map(lambda x: x + i * 1e-6, g0),
+                   state.opt_state, state.params),
+        args.iters)
+
     # full train step, chained state (honest end-to-end)
     cur = state
     step(cur, sb, rng)
@@ -143,6 +194,9 @@ def main():
 
     results["mdp_solve_ms"] = results["fwd_mdp_ms"] - results["fwd_nomdp_ms"]
     results["loss_bwd_opt_ms"] = results["full_step_ms"] - results["fwd_mdp_ms"]
+    results["loss_only_ms"] = results["fwd_loss_ms"] - results["fwd_mdp_ms"]
+    results["bwd_ms"] = results["grad_ms"] - results["fwd_loss_ms"]
+    results["penalty_ms"] = results["grad_ms"] - results["grad_nopenalty_ms"]
     for k, v in results.items():
         print(f"{k:>20}: {v:8.1f}")
 

@@ -21,24 +21,26 @@ run() {
 #    timeout-bounded processes (each prints its own JSON line)
 run headline 3600 python bench.py
 run variants_bf16 3600 python bench.py --bf16
-run variants_batch 2400 python bench.py --no-fused --batch 8
+run variants_fold 3600 python bench.py --bf16 --fold-bn
+run variants_batch 2400 python bench.py --batch 8
 
-# 2. fused reward head micro-benchmark (flax vs pallas on-chip)
-run reward_head 1800 python scripts/benchmarks/reward_head_bench.py
-
-# 3. SVF propagation micro-benchmark (XLA scan vs pallas)
+# 2. SVF propagation micro-benchmark (XLA scan vs pallas)
 run svf 1800 python scripts/benchmarks/svf_bench.py
 
-# 4. stage-2 train step, f32 then real bf16 stream (round-3 re-measure)
+# 3. stage-2 train step, f32 then real bf16 stream (round-3 re-measure)
 run train_f32 2400 python scripts/benchmarks/train_step_bench.py --batch 16
 run train_bf16 2400 python scripts/benchmarks/train_step_bench.py \
   --batch 16 --dtype bfloat16
 
-# 5. stage-3 IRL step (now with pallas VI + pallas SVF dispatch)
+# 4. stage-3 IRL step (pallas VI + pallas SVF dispatch), f32 then the
+#    bf16-frozen-backbone mode, plus the phase breakdown
 run train_irl 2400 python scripts/benchmarks/train_step_bench.py \
   --stage traversability --batch 10
+run train_irl_bf16 2400 python scripts/benchmarks/train_step_bench.py \
+  --stage traversability --batch 10 --dtype bfloat16
+run irl_breakdown 2400 python scripts/benchmarks/irl_breakdown.py
 
-# 6. offline preprocessing kernel chain at production shapes
+# 5. offline preprocessing kernel chain at production shapes
 run preproc 1800 python scripts/benchmarks/preproc_bench.py
 
 tail -n +1 "$OUT"
