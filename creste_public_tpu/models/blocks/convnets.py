@@ -228,11 +228,56 @@ class MLP(nn.Module):
         return x
 
 
+def _upsample2x_axis(x: Array, axis: int) -> Array:
+    """Exact 2x bilinear upsample along one axis (half-pixel coords).
+
+    out[2k] = 0.25*in[k-1] + 0.75*in[k]; out[2k+1] = 0.75*in[k] +
+    0.25*in[k+1], edges clamped — identical (including the edge
+    renormalisation) to jax.image.resize's triangle kernel at scale 2.
+    """
+    n = x.shape[axis]
+
+    def take(lo, hi):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(lo, hi)
+        return x[tuple(idx)]
+
+    prev = jnp.concatenate([take(0, 1), take(0, n - 1)], axis)
+    nxt = jnp.concatenate([take(1, n), take(n - 1, n)], axis)
+    dt = x.dtype
+    even = jnp.asarray(0.25, dt) * prev + jnp.asarray(0.75, dt) * x
+    odd = jnp.asarray(0.75, dt) * x + jnp.asarray(0.25, dt) * nxt
+    out = jnp.stack([even, odd], axis=axis + 1)
+    return out.reshape(x.shape[:axis] + (2 * n,) + x.shape[axis + 1 :])
+
+
+def upsample2x_bilinear(x: Array) -> Array:
+    """Exact 2x bilinear upsample as elementwise taps + interleave.
+
+    Byte-equivalent semantics to jax.image.resize(..., 'bilinear') at
+    scale 2 (pinned by tests/test_upsample2x.py).
+
+    MEASURED REGRESSION — NOT wired into the models. Hypothesis was that
+    the generic resize's per-axis dot_generals + layout transposes
+    (~100 MB/frame of copy traffic per decoder head in the HLO,
+    scripts/benchmarks/hlo_bytes.py) were removable overhead; on chip the
+    deployment graph got SLOWER with this kernel routed into the decoder/
+    Up/reward paths (f32 131.6 -> 129.3 Hz, bf16 146.9 -> 139.8 Hz,
+    bench.py 2026-08-19): the even/odd interleave is a second-minor-dim
+    relayout that costs more than the dots it replaces. Kept (with its
+    equivalence tests) as the recorded evidence; the models stay on
+    jax.image.resize.
+    """
+    return _upsample2x_axis(_upsample2x_axis(x, 1), 2)
+
+
 def upsample_bilinear(x: Array, scale: float | tuple[float, float]) -> Array:
     """Bilinear upsample matching torch nn.Upsample(align_corners=False).
 
     Output size = floor(in * scale) per dim (torch semantics for float
-    scale factors).
+    scale factors). Deliberately always jax.image.resize — the elementwise
+    2x path (upsample2x_bilinear) measured slower on chip; see its
+    docstring.
     """
     import jax
 
