@@ -39,6 +39,7 @@
 #include <fstream>
 #include <sstream>
 #include <string>
+#include <utility>
 #include <vector>
 
 #include "xla/pjrt/c/pjrt_c_api.h"
@@ -157,6 +158,12 @@ int main(int argc, char** argv) {
   const char* in_spec = nullptr;
   const char* dump_dir = nullptr;
   int iters = 30, warmup = 3, distinct = 8;
+  // Platform-specific client create options (PJRT_NamedValue). Some
+  // plugins refuse a bare PJRT_Client_Create (the axon tunnel plugin
+  // needs topology/session routing NamedValues, mirroring what
+  // axon.register's python path passes). "key=value" with an all-digit
+  // value becomes kInt64, everything else kString.
+  std::vector<std::pair<std::string, std::string>> client_opts;
   for (int i = 1; i < argc; ++i) {
     if (!strcmp(argv[i], "--plugin") && i + 1 < argc) plugin = argv[++i];
     else if (!strcmp(argv[i], "--artifact") && i + 1 < argc)
@@ -170,11 +177,19 @@ int main(int argc, char** argv) {
     else if (!strcmp(argv[i], "--in") && i + 1 < argc) in_spec = argv[++i];
     else if (!strcmp(argv[i], "--dump") && i + 1 < argc)
       dump_dir = argv[++i];
-    else {
+    else if (!strcmp(argv[i], "--copt") && i + 1 < argc) {
+      std::string kv = argv[++i];
+      size_t eq = kv.find('=');
+      if (eq == std::string::npos) {
+        fprintf(stderr, "--copt expects key=value, got %s\n", kv.c_str());
+        return 2;
+      }
+      client_opts.emplace_back(kv.substr(0, eq), kv.substr(eq + 1));
+    } else {
       fprintf(stderr,
               "usage: creste_serve --plugin SO --artifact DIR "
               "[--iters N] [--warmup N] [--distinct N] "
-              "[--in name=file,...] [--dump DIR]\n");
+              "[--in name=file,...] [--dump DIR] [--copt k=v ...]\n");
       return 2;
     }
   }
@@ -246,9 +261,37 @@ int main(int argc, char** argv) {
   pi.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
   Check(g_api->PJRT_Plugin_Initialize(&pi), "Plugin_Initialize");
 
+  std::vector<PJRT_NamedValue> nvs;
+  std::vector<int64_t> nv_ints(client_opts.size());
+  nvs.reserve(client_opts.size());
+  for (size_t i = 0; i < client_opts.size(); ++i) {
+    const std::string& k = client_opts[i].first;
+    const std::string& v = client_opts[i].second;
+    PJRT_NamedValue nv;
+    memset(&nv, 0, sizeof(nv));
+    nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    nv.name = k.c_str();
+    nv.name_size = k.size();
+    bool is_int = !v.empty() &&
+                  v.find_first_not_of("0123456789-") == std::string::npos;
+    if (is_int) {
+      nv_ints[i] = atoll(v.c_str());
+      nv.type = PJRT_NamedValue_kInt64;
+      nv.int64_value = nv_ints[i];
+      nv.value_size = 1;
+    } else {
+      nv.type = PJRT_NamedValue_kString;
+      nv.string_value = v.c_str();
+      nv.value_size = v.size();
+    }
+    nvs.push_back(nv);
+  }
+
   PJRT_Client_Create_Args cc;
   memset(&cc, 0, sizeof(cc));
   cc.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cc.create_options = nvs.empty() ? nullptr : nvs.data();
+  cc.num_options = nvs.size();
   Check(g_api->PJRT_Client_Create(&cc), "Client_Create");
   PJRT_Client* client = cc.client;
 
@@ -339,7 +382,14 @@ int main(int argc, char** argv) {
         return 2;
       }
     }
-    distinct = 1;  // real inputs: one set, no synthetic variation
+    // Only collapse to one staged set when EVERY input is pinned to a
+    // file — with a partial --in (e.g. real p2p + synthetic rgbd) the
+    // unpinned inputs still vary per set, so --distinct timing stays
+    // honest on a memoizing tunnel runtime.
+    bool all_pinned = true;
+    for (size_t i = 0; i < inputs.size(); ++i)
+      if (real[i].empty()) all_pinned = false;
+    if (all_pinned) distinct = 1;
   }
 
   // ---- input staging: `distinct` full sets of device buffers ----
@@ -393,6 +443,43 @@ int main(int argc, char** argv) {
     ex.device_complete_events = &done;
     Check(g_api->PJRT_LoadedExecutable_Execute(&ex), "Execute");
     AwaitAndDestroy(done, "execute-done");
+    // device_complete_events is optional in the C API — a plugin may
+    // leave it null (the axon tunnel plugin does), making the await
+    // above a no-op and the "latency" an enqueue time. Block on every
+    // output buffer's ready event so a timed iteration measures real
+    // completion.
+    for (PJRT_Buffer* b : outs) {
+      if (!b || !g_api->PJRT_Buffer_ReadyEvent) continue;
+      PJRT_Buffer_ReadyEvent_Args re;
+      memset(&re, 0, sizeof(re));
+      re.struct_size = PJRT_Buffer_ReadyEvent_Args_STRUCT_SIZE;
+      re.buffer = b;
+      Check(g_api->PJRT_Buffer_ReadyEvent(&re), "ReadyEvent");
+      AwaitAndDestroy(re.event, "output-ready");
+    }
+    // Completion fence: a lazy/tunnel runtime may signal both the
+    // device-complete and buffer-ready events at enqueue and only
+    // materialize compute at D2H, so fetch the FIRST output's bytes
+    // (the manifest orders outputs alphabetically; all creste outputs
+    // are small next to the frame). On a host-attached chip this adds
+    // one ~sub-ms transfer; on a tunnel it makes per_frame_ms an
+    // honest compute+round-trip upper bound rather than an enqueue
+    // time.
+    if (!outs.empty() && outs[0]) {
+      PJRT_Buffer_ToHostBuffer_Args th;
+      memset(&th, 0, sizeof(th));
+      th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+      th.src = outs[0];
+      Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer(size)");
+      std::vector<uint8_t> sink(th.dst_size);
+      memset(&th, 0, sizeof(th));
+      th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+      th.src = outs[0];
+      th.dst = sink.data();
+      th.dst_size = sink.size();
+      Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHostBuffer(fence)");
+      AwaitAndDestroy(th.event, "d2h-fence");
+    }
     // destroy all but the final iteration's outputs (reported below)
   };
   auto destroy_outs = [&]() {
@@ -417,14 +504,14 @@ int main(int argc, char** argv) {
     destroy_outs();
   }
   int timed = iters;
-  if (!in_spec && timed > distinct - 1) {
+  if (distinct > 1 && timed > distinct - 1) {
     timed = distinct > 1 ? distinct - 1 : 1;
     fprintf(stderr,
             "clamping timed iters %d -> %d (distinct un-executed input "
             "sets; raise --distinct for more)\n",
             iters, timed);
   }
-  if (in_spec && timed > 1) {
+  if (distinct == 1 && timed > 1) {
     fprintf(stderr,
             "warning: timing %d iterations over ONE real input set — on a "
             "memoizing tunnel runtime repeats are cache hits, not "
