@@ -52,7 +52,14 @@ def serialized_latency(
         )
         return acc
 
-    rng = np.random.default_rng(0)
+    # Non-deterministic perturbation seed: the tunnel memoization persists
+    # ACROSS PROCESSES, so a fixed-seed perturbation sequence replays the
+    # exact (program, args) pairs of any earlier run of the same bench and
+    # times cache hits (caught via preproc_bench printing -0.0 ms/frame
+    # for a 13.6 ms/frame chain; this path was exposed the same way).
+    import os
+
+    rng = np.random.default_rng(os.getpid() ^ time.time_ns())
     base = np.asarray(rgbd)
 
     def fresh():
@@ -66,14 +73,17 @@ def serialized_latency(
 
     medians = {}
     for n in (1, n_long):
-        acc = loop_fn(variables, fresh(), p2p, n)  # compile
-        jax.block_until_ready(acc)
+        float(loop_fn(variables, fresh(), p2p, n))  # compile + drain
         ts = []
         for _ in range(repeats):
             x = fresh()
             t0 = time.perf_counter()
-            acc = loop_fn(variables, x, p2p, n)
-            jax.block_until_ready(acc)
+            # Fence on the VALUE (D2H fetch), not block_until_ready: the
+            # tunnel runtime is intermittently lazy and block_until_ready
+            # was observed returning in ~0.1 ms for multi-ms programs
+            # (scripts/benchmarks/preproc_bench.py investigation). The
+            # fetch round-trip cancels in the scan-length difference.
+            float(loop_fn(variables, x, p2p, n))
             ts.append(time.perf_counter() - t0)
         medians[n] = float(np.median(ts))
     per_frame = (medians[n_long] - medians[1]) / (n_long - 1)

@@ -153,7 +153,8 @@ def main():
     closure_np = pipelines.make_loss_closure("traversability", model, lm_nopen)
     grad_fn_np = jax.jit(jax.value_and_grad(closure_np, has_aux=True))
 
-    hb = {k: jnp.asarray(v) for k, v in batch.items()}
+    # tree_map, not per-key asarray: counterfactuals_label is a dict
+    hb = jax.tree_util.tree_map(jnp.asarray, batch)
 
     def fresh_batch(i):
         b = dict(hb)

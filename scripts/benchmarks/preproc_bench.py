@@ -11,15 +11,17 @@ per-frame kernel chain at production shapes:
                             ground/overhang gap-scan)
 
 Methodology: lax.scan over F frames with input derived from the loop
-index (fresh data each iteration, immune to the tunnel's (program, args)
-memoization — see runtime/benchmark.py); per-frame =
-(T(F2) - T(F1))/(F2 - F1). The spread F2 - F1 must dwarf the tunnel
-round-trip jitter (several ms per call): the kernel chain itself is
-~0.1 ms/frame, so the default spread is 500 frames (~50 ms of compute,
->> jitter). The original 30-frame spread measured tunnel noise and
-printed a negative rate.
+index (fresh salted data each iteration), timed with a VALUE fetch as the
+completion fence; per-frame = (T(F2) - T(F1))/(F2 - F1), which cancels
+the per-call round trip. Three measurement hazards found (and fixed)
+here, all tunnel-specific: (1) a fixed-seed jitter replays byte-identical
+(program, args) pairs across processes into the tunnel's memoization;
+(2) a constant (all-NaN) result gives the runtime a value-independent
+answer to serve; (3) block_until_ready is intermittently lazy — only a
+D2H fetch always materializes. Measured honest rate on v5e:
+13.59 ms/frame -> 73.6 frames/s for the full chain at production shapes.
 
-Usage: python scripts/benchmarks/preproc_bench.py [--frames 500] [--points 131072]
+Usage: python scripts/benchmarks/preproc_bench.py [--frames 50] [--points 131072]
 """
 import os as _os
 import sys as _sys
@@ -33,7 +35,7 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=500,
+    ap.add_argument("--frames", type=int, default=50,
                     help="scan-length spread (>= 2; per-frame = "
                          "(T(F1+F)-T(F1))/F; must dwarf tunnel jitter)")
     ap.add_argument("--points", type=int, default=131072)
@@ -76,8 +78,13 @@ def main():
         dense = idw_densify(None, depth=depth, window=4)
         elev = elevation_maps_from_points(
             points, (args.grid, args.grid), 12.8)
+        # nan-safe, input-DEPENDENT reduction. Empty elevation cells are
+        # NaN by contract (ops/elevation.py), so a plain sum is NaN for
+        # EVERY input — a bit-identical constant result that a caching
+        # tunnel runtime can serve without executing anything (this bench
+        # printed 0.09 ms "reps" for a 13.6 ms/frame chain that way).
         return (dense.sum()
-                + sum(jnp.sum(v) for v in elev.values()))
+                + sum(jnp.nansum(v) for v in elev.values()))
 
     from functools import partial
 
@@ -90,23 +97,44 @@ def main():
         out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
         return out
 
+    # The jitter rng must be non-deterministic: the tunnel memoization
+    # persists ACROSS PROCESSES, so a seed-0 jitter sequence replays the
+    # exact (program, args) pairs of every previous invocation and times
+    # nothing but cache hits (this script printed -0.0 ms/frame for a
+    # measured 13.6 ms/frame chain until this seed). `base` stays seeded
+    # for comparability; only the per-call jitter is salted.
+    import os as _os
+    import time as _time
+
+    jrng = np.random.default_rng(_os.getpid() ^ _time.time_ns())
+
     def fresh():
         # a FRESH device-put input per timed call: a tunnel-attached
         # runtime memoizes (program, args), so re-executing on the same
         # buffer would time cache hits (runtime/benchmark.py discipline)
-        jitter = rng.uniform(-1e-3, 1e-3, base.shape).astype(np.float32)
+        jitter = jrng.uniform(-1e-3, 1e-3, base.shape).astype(np.float32)
         x = jax.device_put(jnp.asarray(base + jitter))
         jax.block_until_ready(x)
         return x
 
+    import sys
+
     def timed(n, reps=5):
-        jax.block_until_ready(run(fresh(), n))  # compile
+        float(run(fresh(), n))  # compile + drain
         ts = []
         for _ in range(reps):
             x = fresh()
             t0 = time.perf_counter()
-            jax.block_until_ready(run(x, n))
+            # Fence on the VALUE, not block_until_ready: the tunnel
+            # runtime is intermittently lazy — block_until_ready was
+            # observed returning in 0.09 ms for a chain whose value-fetch
+            # measures 13.6 ms/frame (same program, same minute). A D2H
+            # fetch always materializes; its round-trip cost cancels in
+            # the scan-length difference below.
+            float(run(x, n))
             ts.append(time.perf_counter() - t0)
+        print(f"# n={n} reps_ms={[round(t * 1e3, 2) for t in ts]}",
+              file=sys.stderr)
         return float(np.median(ts)), float(np.std(ts))
 
     n1 = 10
