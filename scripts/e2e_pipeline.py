@@ -199,15 +199,18 @@ def train_stages(root: str, work: str, grid: int, map_range: float,
 
 
 def export_and_check(root: str, seq: str, work: str, ckpt_dir: str,
-                     grid: int, map_range: float, tol: float) -> dict:
+                     grid: int, map_range: float, tol: float,
+                     native_platform: str | None = None) -> dict:
     """Export the deployment graph from the stage-3 checkpoint, re-execute
     the serialized StableHLO, and compare against direct model.apply on a
     real preprocessed sample from the tree."""
     out = os.path.join(work, "creste_rgbd_export.bin")
     native_dir = os.path.join(work, "native_artifact")
+    extra = (["--native-platform", native_platform]
+             if native_platform else [])
     _cli("scripts/runtime/compile.py",
          "--tiny", "--ckpt", ckpt_dir, "--out", out,
-         "--native-dir", native_dir)
+         "--native-dir", native_dir, *extra)
 
     import jax
     import jax.export
@@ -273,6 +276,17 @@ def native_serve(work: str, native_dir: str, plugin: str | None) -> dict:
         return {"native_serve": "skipped (no plugin)"}
     args = [host, "--plugin", plugin, "--artifact", native_dir,
             "--iters", "3", "--warmup", "1"]
+    if "axon" in os.path.basename(plugin):
+        # the axon tunnel plugin needs the client create options its
+        # python registration passes (axon.register) — see
+        # native/creste_serve.cpp --copt
+        gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+        for kv in (f"topology={gen}:1x1x1", f"session_id=e2e-{os.getpid()}",
+                   "n_slices=1", "remote_compile=1", "local_only=0",
+                   "priority=0", "rank=4294967295"):
+            args += ["--copt", kv]
+        os.environ.setdefault("AXON_POOL_SVC_OVERRIDE", "127.0.0.1")
+        os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
     r = subprocess.run(args, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, f"creste_serve failed: {r.stderr[-800:]}"
     line = r.stdout.strip().splitlines()[-1]
@@ -305,8 +319,11 @@ def run_pipeline(work: str, frames: int = 24, img_hw=(64, 80),
     annotate(root, seq, grid, map_range, horizon,
              frames=list(range(0, max(1, frames - horizon), 4)))
     dirs = train_stages(root, work, grid, map_range, horizon)
+    # an axon (TPU tunnel) serve leg needs a tpu-lowered native artifact
+    plat = "tpu" if (pjrt_plugin and "axon" in os.path.basename(
+        pjrt_plugin)) else None
     result = export_and_check(root, seq, work, dirs["traversability"],
-                              grid, map_range, tol)
+                              grid, map_range, tol, native_platform=plat)
     if serve:
         result.update(native_serve(work, result["native_dir"], pjrt_plugin))
     result["ckpts"] = dirs
