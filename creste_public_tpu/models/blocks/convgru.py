@@ -165,7 +165,19 @@ class ConvGRU(nn.Module):
             # recurrence (batched over T).
             prev = jnp.concatenate([cp0[:, None], pl[:, :-1]], axis=1)
             M = relative_bev_affine(pl, prev)  # [B,T,2,3]
-            if self.noisy_pose and self.has_rng("noise"):
+            if self.noisy_pose:
+                # The reference applies _noisify UNCONDITIONALLY when
+                # noisy_pose is set (convgru.py:289-290, torch.randn on
+                # every forward) — silently skipping it when the caller
+                # forgot the rng would train without pose noise. Fail
+                # loudly instead; pipelines.py plumbs a 'noise' rng.
+                if not self.has_rng("noise"):
+                    raise ValueError(
+                        "ConvGRU(noisy_pose=True) requires an rng named "
+                        "'noise' (pass rngs={'noise': key} to apply); the "
+                        "reference noisifies the pose on every forward "
+                        "(convgru.py:289-290)"
+                    )
                 key = self.make_rng("noise")
                 kr, kt = jax.random.split(key)
                 M = noisify_affine(

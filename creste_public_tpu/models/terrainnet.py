@@ -38,12 +38,17 @@ class TerrainNet(nn.Module):
         train: bool = False,
         temporal_hidden: list | None = None,
         bos: bool = True,
+        pose: Array | None = None,
     ) -> dict[str, Array]:
         """
         Args:
           rgbd: [B, N, H, W, 4] RGBD frames.
           p2p: [B, N, 4, 4] pixel->point transforms.
           mv_mask: optional [B, N, H, W] immovable mask (training).
+          pose: optional [B, N, 4, 4] per-frame SE(3) poses, required when
+            ``temporal_layer.net_kwargs.rnn_config.use_pose`` — forwarded
+            to MergeUnit for pose-warped hidden state (the reference
+            carries the same plumbing commented out at rnn.py:59-127).
 
         Returns the merged NHWC tensor dict (depth_*, dino_*, bev_*,
         inpainting_*_preds/features, elevation_preds, ...).
@@ -88,9 +93,20 @@ class TerrainNet(nn.Module):
 
             t_cfg = cfg["temporal_layer"]["net_kwargs"]
             ns = outputs["bev_features"].shape[0] // B
+            rnn_cfg = t_cfg.get("rnn_config", None) or {}
+            pose_bt = None
+            if rnn_cfg.get("use_pose", False):
+                if pose is None:
+                    raise ValueError(
+                        "rnn_config.use_pose=True needs a 'pose' batch key "
+                        "threaded into TerrainNet ([B, N, 4, 4]); the "
+                        "reference's model-level plumbing is commented out "
+                        "at rnn.py:59-127 — pass pose=batch['pose']"
+                    )
+                pose_bt = pose.reshape(B * ns, 4, 4)
             merged = MergeUnit(t_cfg, name="temporal_layer")(
                 outputs["bev_features"], t=ns, train=train,
-                hidden=temporal_hidden, bos=bos,
+                hidden=temporal_hidden, bos=bos, pose=pose_bt,
             )
             if isinstance(merged, tuple):
                 merged, hidden = merged
@@ -107,6 +123,9 @@ class TerrainNet(nn.Module):
                 input_key=bev_cfg["net_kwargs"].get("input_key", "bev_features"),
                 learnable_loss_weight=bev_cfg["net_kwargs"].get(
                     "learnable_loss_weight", False
+                ),
+                merged_heads=bev_cfg["net_kwargs"].get(
+                    "merged_heads", False
                 ),
                 name="bevclassifier",
             )

@@ -140,7 +140,10 @@ def make_loss_closure(
             *args,
             train=True,
             mutable=["batch_stats"],
-            rngs={"dropout": rng},
+            # 'noise' feeds ConvGRU pose noisification when a temporal
+            # config sets noisy_pose (reference convgru.py:289-290);
+            # unused rngs are ignored by flax.
+            rngs={"dropout": rng, "noise": jax.random.fold_in(rng, 7)},
         )
         if compute_dtype is not None:
             outputs = _cast_float(outputs, jnp.float32)
@@ -255,8 +258,9 @@ def make_temporal_train_step(model, loss_manager, tx, mesh, task=None,
                 variables,
                 batch["image"], batch["p2p"], None,
                 train=True, temporal_hidden=hidden, bos=bos,
+                pose=batch.get("pose"),
                 mutable=["batch_stats"],
-                rngs={"dropout": rng},
+                rngs={"dropout": rng, "noise": jax.random.fold_in(rng, 7)},
             )
             td = merge_tensor_dict(batch, outputs, task)
             loss_dict, meta = loss_manager(td, {"rng": rng,

@@ -99,7 +99,7 @@ _HTML_TEMPLATE = """<!DOCTYPE html>
 const SCANS_B64 = __SCANS__;
 const STRIDES = __STRIDES__;
 const LABELS_B64 = __LABELS__;   // per-scan base64 uint32 or null
-const TITLE = "__TITLE__";
+const TITLE = __TITLE_JS__;
 function decodeF32(b64) {
   const bin = atob(b64), n = bin.length;
   const buf = new ArrayBuffer(n), u8 = new Uint8Array(buf);
@@ -247,6 +247,7 @@ def export_html_viewer(
     """
     import base64
     import json
+    from html import escape as html_escape
     import os
 
     if isinstance(scans, np.ndarray):
@@ -273,7 +274,12 @@ def export_html_viewer(
         .replace("__STRIDES__", json.dumps(strides))
         .replace("__LABELS__", json.dumps(lab_b64))
         .replace("__POINT_SIZE__", str(int(point_size)))
-        .replace("__TITLE__", title.replace('"', "'"))
+        # JS constant via json.dumps (escapes quotes, backslashes and
+        # `</script>` via <...), <title> element via html.escape —
+        # a title like `</script><script>` must not break the page.
+        .replace("__TITLE_JS__",
+                 json.dumps(title).replace("</", "<\\/"))
+        .replace("__TITLE__", html_escape(title))
     )
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)

@@ -71,3 +71,19 @@ def test_default_camera_sees_the_scan(tmp_path):
     v = H // 2 - (foc * z2 / depth).astype(int)
     vis = (depth > 0.2) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
     assert vis.mean() > 0.9
+
+
+def test_title_injection_safe(tmp_path):
+    """ADVICE r4: a title containing </script>, quotes, or backslashes
+    must not break the generated page (json.dumps for JS, html escape
+    for <title>)."""
+    s = np.random.default_rng(0).random((5, 4)).astype(np.float32)
+    evil = '</script><script>alert(1)//"\\'
+    path = export_html_viewer(str(tmp_path / "t.html"), [s], title=evil)
+    text = open(path).read()
+    assert "</script><script>alert" not in text
+    # the JS constant parses back to the original title
+    import json as _json
+    js = [ln for ln in text.splitlines() if ln.startswith("const TITLE")][0]
+    val = js.split("=", 1)[1].strip().rstrip(";")
+    assert _json.loads(val.replace("<\\/", "</")) == evil

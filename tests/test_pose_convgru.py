@@ -330,3 +330,21 @@ def test_pose_convgru_trains_under_jit():
     g = jax.grad(loss_fn)(vs["params"], x, pose)
     norms = [float(jnp.linalg.norm(v)) for v in jax.tree.leaves(g)]
     assert all(np.isfinite(norms)) and max(norms) > 0
+
+
+def test_noisy_pose_without_rng_raises():
+    """ADVICE r4: the reference noisifies UNCONDITIONALLY when
+    noisy_pose=True (convgru.py:289-290); a missing 'noise' rng must fail
+    loudly, not silently train without pose noise."""
+    import pytest
+
+    B, T, H, W, C = 1, 2, 4, 4, 2
+    x = jnp.zeros((B, T, H, W, C), jnp.float32)
+    pose = jnp.broadcast_to(jnp.eye(4), (B, T, 4, 4)).astype(jnp.float32)
+    m = ConvGRU(hidden_dims=(C,), use_pose=True, noisy_pose=True)
+    vs = m.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        x, pose=pose,
+    )
+    with pytest.raises(ValueError, match="noise"):
+        m.apply({"params": vs["params"]}, x, pose=pose)  # no rngs
