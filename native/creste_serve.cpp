@@ -11,8 +11,15 @@
 //
 // Usage:
 //   creste_serve --plugin libaxon_pjrt.so --artifact DIR
-//                [--iters 30] [--warmup 3] [--distinct 8]
+//                [--iters 30] [--warmup 3] [--distinct 8] [--pipeline 2]
 //                [--in rgbd=frame.bin,p2p=p2p.bin] [--dump DIR]
+//
+// --pipeline N (default 2; <=1 disables) additionally measures a
+// double-buffered streaming phase: a producer thread stages frame i+1's
+// inputs (fresh H2D every frame) and enqueues its Execute while a
+// consumer thread fences frame i, with at most N frames in flight —
+// the steady-state period of a realtime node, approaching
+// max(transport, compute) instead of their sum.
 //
 // --in feeds real raw-tensor files (row-major, manifest dtype/shape) in
 // place of synthetic fill — the robot-integration path; --dump writes
@@ -30,15 +37,20 @@
 //
 // Prints one JSON line: {"per_frame_ms": ..., "hz": ..., "outputs": [...]}.
 #include <dlfcn.h>
+#include <errno.h>
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
 
 #include <chrono>
+#include <condition_variable>
 #include <cstdint>
+#include <deque>
 #include <fstream>
+#include <mutex>
 #include <sstream>
 #include <string>
+#include <thread>
 #include <utility>
 #include <vector>
 
@@ -157,7 +169,7 @@ int main(int argc, char** argv) {
   const char* artifact = nullptr;
   const char* in_spec = nullptr;
   const char* dump_dir = nullptr;
-  int iters = 30, warmup = 3, distinct = 8;
+  int iters = 30, warmup = 3, distinct = 8, pipeline = 2;
   // Platform-specific client create options (PJRT_NamedValue). Some
   // plugins refuse a bare PJRT_Client_Create (the axon tunnel plugin
   // needs topology/session routing NamedValues, mirroring what
@@ -174,6 +186,8 @@ int main(int argc, char** argv) {
       warmup = atoi(argv[++i]);
     else if (!strcmp(argv[i], "--distinct") && i + 1 < argc)
       distinct = atoi(argv[++i]);
+    else if (!strcmp(argv[i], "--pipeline") && i + 1 < argc)
+      pipeline = atoi(argv[++i]);
     else if (!strcmp(argv[i], "--in") && i + 1 < argc) in_spec = argv[++i];
     else if (!strcmp(argv[i], "--dump") && i + 1 < argc)
       dump_dir = argv[++i];
@@ -188,7 +202,7 @@ int main(int argc, char** argv) {
     } else {
       fprintf(stderr,
               "usage: creste_serve --plugin SO --artifact DIR "
-              "[--iters N] [--warmup N] [--distinct N] "
+              "[--iters N] [--warmup N] [--distinct N] [--pipeline N] "
               "[--in name=file,...] [--dump DIR] [--copt k=v ...]\n");
       return 2;
     }
@@ -272,10 +286,19 @@ int main(int argc, char** argv) {
     nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
     nv.name = k.c_str();
     nv.name_size = k.size();
-    bool is_int = !v.empty() &&
-                  v.find_first_not_of("0123456789-") == std::string::npos;
+    // int64 only when an optional leading '-' is followed solely by
+    // digits AND strtoll consumes the whole string without overflow —
+    // values like "12-34" or "-" must stay kString, not be truncated.
+    bool is_int = false;
+    long long parsed = 0;
+    if (!v.empty() && !(v.size() == 1 && v[0] == '-')) {
+      errno = 0;
+      char* end = nullptr;
+      parsed = strtoll(v.c_str(), &end, 10);
+      is_int = (end == v.c_str() + v.size()) && errno == 0;
+    }
     if (is_int) {
-      nv_ints[i] = atoll(v.c_str());
+      nv_ints[i] = parsed;
       nv.type = PJRT_NamedValue_kInt64;
       nv.int64_value = nv_ints[i];
       nv.value_size = 1;
@@ -394,8 +417,12 @@ int main(int argc, char** argv) {
 
   // ---- input staging: `distinct` full sets of device buffers ----
   size_t num_args = inputs.size();
-  std::vector<std::vector<PJRT_Buffer*>> sets(distinct);
-  for (int s = 0; s < distinct; ++s) {
+  // Stage one full input set of device buffers; seed salts the synthetic
+  // fill (inputs pinned via --in always use the file bytes). Blocks until
+  // the H2D transfer completes — on the streaming path this IS the
+  // transport leg.
+  auto stage_set = [&](uint64_t seed) {
+    std::vector<PJRT_Buffer*> set;
     for (size_t i = 0; i < num_args; ++i) {
       const TensorSpec& t = inputs[i];
       PJRT_Buffer_Type ty = TypeOf(t.dtype);
@@ -403,7 +430,7 @@ int main(int argc, char** argv) {
       if (!real[i].empty())
         host = real[i];
       else
-        FillHost(host, ty, s * 1315423911u + i + 1);
+        FillHost(host, ty, seed * 1315423911u + i + 1);
       PJRT_Client_BufferFromHostBuffer_Args b;
       memset(&b, 0, sizeof(b));
       b.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
@@ -418,9 +445,12 @@ int main(int argc, char** argv) {
       Check(g_api->PJRT_Client_BufferFromHostBuffer(&b),
             "BufferFromHostBuffer");
       AwaitAndDestroy(b.done_with_host_buffer, "h2d");
-      sets[s].push_back(b.buffer);
+      set.push_back(b.buffer);
     }
-  }
+    return set;
+  };
+  std::vector<std::vector<PJRT_Buffer*>> sets(distinct);
+  for (int s = 0; s < distinct; ++s) sets[s] = stage_set((uint64_t)s);
 
   // ---- execute loop ----
   std::vector<PJRT_Buffer*> outs(num_outputs, nullptr);
@@ -529,6 +559,118 @@ int main(int argc, char** argv) {
           .count();
   double per_frame_ms = total_s / timed * 1e3;
 
+  // ---- pipelined steady-state phase (VERDICT r4 #2) ----
+  // Streaming-consumer model (the reference deploys a realtime C++ node,
+  // README.md:40-43): the producer thread stages frame i+1's H2D and
+  // enqueues its Execute while a consumer thread fences frame i
+  // (device-complete await + first-output D2H). In-flight depth is
+  // bounded at `pipeline`; steady-state period should approach
+  // max(transport leg, compute) instead of their sum. Every pipelined
+  // frame gets FRESH salted inputs (honest under a memoizing tunnel
+  // runtime) — so unlike the sequential loop above, this rate also PAYS
+  // the per-frame H2D, making it the end-to-end streaming number.
+  double pipeline_ms = 0.0;
+  int pframes = 0;
+  if (pipeline > 1 && iters > 1) {
+    struct InFlight {
+      std::vector<PJRT_Buffer*> ins;
+      std::vector<PJRT_Buffer*> outs;
+      PJRT_Event* done = nullptr;
+    };
+    std::deque<InFlight> q;
+    std::mutex mu;
+    std::condition_variable cv_push, cv_pop;
+    bool closed = false;
+    auto destroy_bufs = [&](std::vector<PJRT_Buffer*>& bs) {
+      for (PJRT_Buffer* b : bs) {
+        if (!b) continue;
+        PJRT_Buffer_Destroy_Args d;
+        memset(&d, 0, sizeof(d));
+        d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+        d.buffer = b;
+        g_api->PJRT_Buffer_Destroy(&d);
+      }
+    };
+    std::thread consumer([&] {
+      std::vector<uint8_t> sink;
+      for (;;) {
+        InFlight f;
+        {
+          std::unique_lock<std::mutex> lk(mu);
+          cv_pop.wait(lk, [&] { return !q.empty() || closed; });
+          if (q.empty()) return;
+          f = std::move(q.front());
+          q.pop_front();
+          cv_push.notify_all();
+        }
+        AwaitAndDestroy(f.done, "pipe-execute-done");
+        if (!f.outs.empty() && f.outs[0]) {
+          // completion fence: fetch the first output's bytes (see the
+          // sequential loop's rationale — ready events can be lazy)
+          PJRT_Buffer_ToHostBuffer_Args th;
+          memset(&th, 0, sizeof(th));
+          th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+          th.src = f.outs[0];
+          Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "pipe-d2h(size)");
+          sink.resize(th.dst_size);
+          memset(&th, 0, sizeof(th));
+          th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+          th.src = f.outs[0];
+          th.dst = sink.data();
+          th.dst_size = sink.size();
+          Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "pipe-d2h(fence)");
+          AwaitAndDestroy(th.event, "pipe-d2h");
+        }
+        destroy_bufs(f.outs);
+        destroy_bufs(f.ins);
+      }
+    });
+    pframes = iters;
+    auto tp0 = std::chrono::steady_clock::now();
+    for (int i = 0; i < pframes; ++i) {
+      InFlight f;
+      f.ins = stage_set(0x9e3779b9u + (uint64_t)i);  // fresh salted H2D
+      f.outs.assign(num_outputs, nullptr);
+      PJRT_ExecuteOptions opts;
+      memset(&opts, 0, sizeof(opts));
+      opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+      PJRT_Buffer* const* arg_list = f.ins.data();
+      PJRT_Buffer** out_list = f.outs.data();
+      PJRT_LoadedExecutable_Execute_Args ex;
+      memset(&ex, 0, sizeof(ex));
+      ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+      ex.executable = exec;
+      ex.options = &opts;
+      ex.argument_lists = &arg_list;
+      ex.num_devices = 1;
+      ex.num_args = num_args;
+      ex.output_lists = &out_list;
+      ex.device_complete_events = &f.done;
+      Check(g_api->PJRT_LoadedExecutable_Execute(&ex), "pipe-Execute");
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_push.wait(lk,
+                     [&] { return q.size() < (size_t)(pipeline - 1); });
+        q.push_back(std::move(f));
+        cv_pop.notify_all();
+      }
+    }
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      closed = true;
+      cv_pop.notify_all();
+    }
+    consumer.join();
+    pipeline_ms = std::chrono::duration<double>(
+                      std::chrono::steady_clock::now() - tp0)
+                      .count() /
+                  pframes * 1e3;
+    fprintf(stderr,
+            "pipelined (depth %d, fresh H2D per frame): %.3f ms/frame "
+            "steady-state over %d frames\n",
+            pipeline, pipeline_ms, pframes);
+  }
+
   // ---- report: shapes + checksums of the final outputs ----
   std::string outs_json = "[";
   for (size_t o = 0; o < num_outputs; ++o) {
@@ -573,11 +715,20 @@ int main(int argc, char** argv) {
   outs_json += "]";
   destroy_outs();
 
+  std::string pipe_json;
+  if (pframes > 0) {
+    char pb[160];
+    snprintf(pb, sizeof(pb),
+             "\"pipeline_depth\": %d, \"pipeline_per_frame_ms\": %.3f, "
+             "\"pipeline_hz\": %.2f, \"pipeline_frames\": %d, ",
+             pipeline, pipeline_ms, 1e3 / pipeline_ms, pframes);
+    pipe_json = pb;
+  }
   printf(
       "{\"per_frame_ms\": %.3f, \"hz\": %.2f, \"compile_s\": %.1f, "
-      "\"iters\": %d, \"distinct\": %d, \"outputs\": %s}\n",
+      "\"iters\": %d, \"distinct\": %d, %s\"outputs\": %s}\n",
       per_frame_ms, 1e3 / per_frame_ms, compile_s, timed, distinct,
-      outs_json.c_str());
+      pipe_json.c_str(), outs_json.c_str());
 
   PJRT_Client_Destroy_Args cd;
   memset(&cd, 0, sizeof(cd));

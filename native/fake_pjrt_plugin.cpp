@@ -6,30 +6,63 @@
 // buffer round-trip (H2D staging, execute, D2H readback, checksums) is
 // exercised end-to-end. num_outputs comes from FAKE_PJRT_NUM_OUTPUTS
 // (default 1). Compile only sanity-checks the module bytes are non-empty.
+//
+// Simulated latency (for testing the host's pipelined streaming phase):
+// FAKE_PJRT_EXEC_MS / FAKE_PJRT_H2D_MS / FAKE_PJRT_D2H_MS (float ms,
+// default 0 = instant). The device is modeled as a SERIAL execution
+// queue: each Execute occupies it for EXEC_MS starting when it is free,
+// and every event carries a completion deadline that EventAwait sleeps
+// until. With these set, a sequential host loop pays exec+d2h per frame
+// while a depth-2 pipelined loop approaches max(exec, h2d, d2h) — the
+// overlap the hermetic test asserts.
 #include <stdlib.h>
 #include <string.h>
 
+#include <chrono>
 #include <cstdint>
+#include <mutex>
+#include <thread>
 #include <vector>
 
 #include "xla/pjrt/c/pjrt_c_api.h"
 
 namespace {
 
+using Clock = std::chrono::steady_clock;
+
+double EnvMs(const char* name) {
+  const char* v = getenv(name);
+  return v ? atof(v) : 0.0;
+}
+
+Clock::duration MsDur(double ms) {
+  return std::chrono::duration_cast<Clock::duration>(
+      std::chrono::duration<double, std::milli>(ms));
+}
+
 struct FakeBuffer {
   std::vector<int64_t> dims;
   std::vector<uint8_t> bytes;
+  Clock::time_point ready{};  // when the device has produced the data
 };
 
 struct FakeExec {
   size_t num_outputs;
 };
 
-// Opaque singletons for handles the host never dereferences.
-int g_client_tag, g_device_tag, g_event_tag;
+struct FakeEventObj {
+  Clock::time_point ready;
+};
 
-PJRT_Event* FakeEvent() {
-  return reinterpret_cast<PJRT_Event*>(&g_event_tag);
+// Serial device queue: Execute i+1 starts when Execute i finished.
+std::mutex g_dev_mu;
+Clock::time_point g_device_free{};
+
+// Opaque singletons for handles the host never dereferences.
+int g_client_tag, g_device_tag;
+
+PJRT_Event* FakeEvent(Clock::time_point ready = Clock::time_point{}) {
+  return reinterpret_cast<PJRT_Event*>(new FakeEventObj{ready});
 }
 
 void ErrorDestroy(PJRT_Error_Destroy_Args*) {}
@@ -38,8 +71,16 @@ void ErrorMessage(PJRT_Error_Message_Args* a) {
   a->message_size = 10;
 }
 PJRT_Error* PluginInitialize(PJRT_Plugin_Initialize_Args*) { return nullptr; }
-PJRT_Error* EventDestroy(PJRT_Event_Destroy_Args*) { return nullptr; }
-PJRT_Error* EventAwait(PJRT_Event_Await_Args*) { return nullptr; }
+PJRT_Error* EventDestroy(PJRT_Event_Destroy_Args* a) {
+  delete reinterpret_cast<FakeEventObj*>(a->event);
+  return nullptr;
+}
+PJRT_Error* EventAwait(PJRT_Event_Await_Args* a) {
+  FakeEventObj* e = reinterpret_cast<FakeEventObj*>(a->event);
+  if (e && e->ready != Clock::time_point{})
+    std::this_thread::sleep_until(e->ready);
+  return nullptr;
+}
 
 PJRT_Error* ClientCreate(PJRT_Client_Create_Args* a) {
   a->client = reinterpret_cast<PJRT_Client*>(&g_client_tag);
@@ -95,13 +136,25 @@ PJRT_Error* BufferFromHostBuffer(PJRT_Client_BufferFromHostBuffer_Args* a) {
   }
   const uint8_t* src = static_cast<const uint8_t*>(a->data);
   b->bytes.assign(src, src + elems * width);
-  a->done_with_host_buffer = FakeEvent();
+  Clock::time_point staged = Clock::now() + MsDur(EnvMs("FAKE_PJRT_H2D_MS"));
+  b->ready = staged;
+  a->done_with_host_buffer = FakeEvent(staged);
   a->buffer = reinterpret_cast<PJRT_Buffer*>(b);
   return nullptr;
 }
 
 PJRT_Error* Execute(PJRT_LoadedExecutable_Execute_Args* a) {
   FakeExec* e = reinterpret_cast<FakeExec*>(a->executable);
+  // serial device: this execution starts when the device frees up and
+  // occupies it for FAKE_PJRT_EXEC_MS
+  Clock::time_point done;
+  {
+    std::lock_guard<std::mutex> lk(g_dev_mu);
+    Clock::time_point start = Clock::now();
+    if (g_device_free > start) start = g_device_free;
+    done = start + MsDur(EnvMs("FAKE_PJRT_EXEC_MS"));
+    g_device_free = done;
+  }
   for (size_t o = 0; o < e->num_outputs; ++o) {
     size_t src_i = a->num_args ? (o < a->num_args ? o : a->num_args - 1) : 0;
     FakeBuffer* out = new FakeBuffer;
@@ -113,9 +166,11 @@ PJRT_Error* Execute(PJRT_LoadedExecutable_Execute_Args* a) {
       out->dims = {1};
       out->bytes = {0};
     }
+    out->ready = done;
     a->output_lists[0][o] = reinterpret_cast<PJRT_Buffer*>(out);
   }
-  if (a->device_complete_events) a->device_complete_events[0] = FakeEvent();
+  if (a->device_complete_events)
+    a->device_complete_events[0] = FakeEvent(done);
   return nullptr;
 }
 
@@ -138,7 +193,10 @@ PJRT_Error* BufferToHostBuffer(PJRT_Buffer_ToHostBuffer_Args* a) {
     return nullptr;
   }
   memcpy(a->dst, b->bytes.data(), b->bytes.size());
-  a->event = FakeEvent();
+  // transfer completes D2H_MS after the data exists on-device
+  Clock::time_point start = Clock::now();
+  if (b->ready > start) start = b->ready;
+  a->event = FakeEvent(start + MsDur(EnvMs("FAKE_PJRT_D2H_MS")));
   return nullptr;
 }
 

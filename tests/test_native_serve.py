@@ -144,3 +144,38 @@ def test_serve_host_real_inputs_and_dump(artifact, tmp_path):
     name = report["outputs"][0]["name"]
     got = np.fromfile(dump / f"{name}_0.bin", dtype=np.float32)
     np.testing.assert_array_equal(got, rgbd.ravel())
+
+
+def test_serve_host_pipeline_overlaps_transport_and_compute(artifact):
+    """VERDICT r4 #2: the streaming phase (producer stages H2D + enqueues
+    Execute for frame i+1 while a consumer fences frame i) must approach
+    max(transport, compute) per frame instead of their sum. The fake
+    plugin simulates a serial device (FAKE_PJRT_EXEC_MS) plus transfer
+    latencies; sequential pays exec+d2h per frame, depth-2 pipelining
+    must hide the D2H fence behind the next frame's execute."""
+    out_dir, info = artifact
+    _build_native()
+    env = dict(os.environ)
+    env["FAKE_PJRT_NUM_OUTPUTS"] = str(info["num_outputs"])
+    env["FAKE_PJRT_EXEC_MS"] = "20"
+    env["FAKE_PJRT_D2H_MS"] = "15"
+    env["FAKE_PJRT_H2D_MS"] = "5"
+    r = subprocess.run(
+        [SERVE, "--plugin", FAKE, "--artifact", out_dir,
+         "--iters", "10", "--warmup", "1", "--distinct", "6",
+         "--pipeline", "2"],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    # sequential: exec (20) + d2h fence (15) = ~35 ms/frame
+    assert report["per_frame_ms"] >= 33, report
+    # pipelined steady state: consumer bound by the serial device's
+    # 20 ms/frame (the 15 ms fence of frame i hides under frame i+1's
+    # execute; the 2x5 ms producer H2D hides under both)
+    assert report["pipeline_frames"] == 10
+    assert report["pipeline_per_frame_ms"] <= 0.8 * report["per_frame_ms"], (
+        report)
+    assert report["pipeline_per_frame_ms"] >= 19, report  # not a cache lie
+    # outputs still round-trip intact after the pipelined phase
+    assert report["outputs"][0]["checksum"] > 0
