@@ -60,6 +60,12 @@ def main() -> None:
                          "already fuses the inference BN math into the "
                          "surrounding convs, so there are no islands left "
                          "to remove. Kept opt-in as evidence")
+    ap.add_argument("--merge-heads", action="store_true",
+                    help="also benchmark the block-diagonal merged decoder "
+                         "tail (the 3 DeconvHeads as grouped convs — exact "
+                         "numerics, 1/3 the decoder-tail op count; the "
+                         "round-4 small-op-floor lever, VERDICT r4 #4b). "
+                         "Composes with --bf16")
     ap.add_argument("--batch", type=int, default=0,
                     help="also measure offline/serving throughput at "
                          "batch N (frames/s; amortises per-launch "
@@ -113,8 +119,46 @@ def main() -> None:
     # deviation check (each jax.jit(fn) wrapper would recompile the full
     # production graph — minutes over the tunnel)
     out_f32 = None
-    if args.fused or args.bf16 or args.fold_bn:
+    if args.fused or args.bf16 or args.fold_bn or args.merge_heads:
         out_f32 = jax.jit(fn)(variables, rgbd, p2p)
+
+    if args.merge_heads:
+        from creste_public_tpu.runtime.precision import max_abs_deviation
+
+        def run_merged():
+            fnM, (vM, _, _) = entry(merge_heads=True, variables=variables)
+            per_M, _ = serialized_latency(
+                fnM, vM, rgbd, p2p, "traversability_preds"
+            )
+            out_M = jax.jit(fnM)(vM, rgbd, p2p)
+            line["merge_heads_hz"] = round(1.0 / per_M, 2)
+            line["merge_heads_reward_max_dev"] = round(max_abs_deviation(
+                out_f32["traversability_preds"],
+                out_M["traversability_preds"]), 8)
+
+        variant("merge_heads", run_merged)
+
+        if args.bf16:
+            def run_merged_bf16():
+                from creste_public_tpu.runtime.precision import (
+                    cast_variables,
+                )
+
+                fnM16, (vM, _, _) = entry(
+                    compute_dtype="bfloat16", merge_heads=True,
+                    variables=variables)
+                vM16 = cast_variables(vM)
+                per_M16, _ = serialized_latency(
+                    fnM16, vM16, rgbd, p2p, "traversability_preds"
+                )
+                out_M16 = jax.jit(fnM16)(vM16, rgbd, p2p)
+                line["bf16_merge_heads_hz"] = round(1.0 / per_M16, 2)
+                line["bf16_merge_heads_reward_max_dev"] = round(
+                    max_abs_deviation(
+                        out_f32["traversability_preds"],
+                        out_M16["traversability_preds"]), 6)
+
+            variant("bf16_merge_heads", run_merged_bf16)
 
     if args.fold_bn:
         from creste_public_tpu.runtime.precision import max_abs_deviation

@@ -12,6 +12,7 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from creste_public_tpu.models.blocks.convnets import batch_norm
 from creste_public_tpu.models.blocks.effnet import Up
@@ -67,12 +68,23 @@ class InpaintingResNet18MultiHead(nn.Module):
 
     cfg mirror of the reference net_kwargs: input_key, num_input_features,
     num_classes (list), output_prefix (list), learnable_loss_weight.
+
+    ``merged_heads=True`` (inference-only) runs the N DeconvHeads as ONE
+    fused tail of block-diagonal convs (reference inpainting.py:52-109
+    computed head-by-head): the first Up conv shares its input, so the
+    heads' filters concatenate along output channels; every later conv is
+    a ``feature_group_count=N`` grouped conv; the 1x1 projections become
+    one block-diagonal matmul. Exact numerics, one bilinear resize and
+    one conv per layer instead of N — the round-4 small-op-floor lever.
+    Params are the ``mh_*`` merged tree produced by
+    ``merge_decoder_head_variables`` from a standard checkpoint.
     """
 
     num_classes: Sequence[int]
     output_prefix: Sequence[str]
     input_key: str = "bev_features"
     learnable_loss_weight: bool = False
+    merged_heads: bool = False
 
     @nn.compact
     def __call__(
@@ -95,6 +107,41 @@ class InpaintingResNet18MultiHead(nn.Module):
         x = BasicBlock(256, 1, name="layer3_1")(x, train)
 
         out: dict[str, Array] = {}
+        if self.merged_heads:
+            assert not train, "merged_heads is an inference-only rewrite"
+            n = len(self.num_classes)
+            B, H, W, _ = x1.shape
+            xr = jax.image.resize(
+                x, (B, H, W, x.shape[-1]), method="bilinear")
+            y = jnp.concatenate([x1, xr], axis=-1)
+            # Up.conv_0 of every head sees the same input -> plain conv
+            # with the heads' filters concatenated on the output axis
+            y = nn.Conv(256 * n, (3, 3), padding=1, use_bias=False,
+                        name="mh_conv0")(y)
+            y = nn.relu(batch_norm(train, name="mh_bn0")(y))
+            y = nn.Conv(256 * n, (3, 3), padding=1, use_bias=False,
+                        feature_group_count=n, name="mh_conv1")(y)
+            y = nn.relu(batch_norm(train, name="mh_bn1")(y))
+            y = jax.image.resize(
+                y, (B, H * 2, W * 2, y.shape[-1]), method="bilinear")
+            y = nn.Conv(128 * n, (3, 3), padding=1, use_bias=False,
+                        feature_group_count=n, name="mh_up2")(y)
+            y = nn.relu(batch_norm(train, name="mh_up2_bn")(y))
+            preds = nn.Conv(sum(self.num_classes), (1, 1), use_bias=True,
+                            name="mh_proj")(y)
+            off = 0
+            for i, (nc, prefix) in enumerate(
+                    zip(self.num_classes, self.output_prefix)):
+                p = (f"{prefix}{key_suffix}"
+                     if prefix == "inpainting_sam" else prefix)
+                out[f"{p}_preds"] = preds[..., off:off + nc]
+                out[f"{p}_features"] = y[..., i * 128:(i + 1) * 128]
+                off += nc
+            if self.learnable_loss_weight:
+                out["log_variance"] = self.param(
+                    "log_var", nn.initializers.zeros, (1,)
+                )
+            return out
         for i, (n, prefix) in enumerate(zip(self.num_classes, self.output_prefix)):
             preds, fea = DeconvHead(n, name=f"head_{i}")(x, x1, train)
             p = f"{prefix}{key_suffix}" if prefix == "inpainting_sam" else prefix
@@ -105,3 +152,96 @@ class InpaintingResNet18MultiHead(nn.Module):
                 "log_var", nn.initializers.zeros, (1,)
             )
         return out
+
+
+def merge_decoder_head_variables(params: dict, stats: dict,
+                                 num_classes: Sequence[int]):
+    """Fuse per-head DeconvHead params into the merged ``mh_*`` tree.
+
+    ``params``/``stats`` are the bevclassifier subtrees of a standard
+    (unmerged) checkpoint; returns (params', stats') where ``head_i/*``
+    is replaced by the block-diagonal merged parameters consumed by
+    ``InpaintingResNet18MultiHead(merged_heads=True)``. Pure jnp concat /
+    block-placement — exact numerics with the source checkpoint
+    (reference heads: inpainting.py:52-68 run one by one).
+    """
+    n = len(num_classes)
+    heads_p = [params[f"head_{i}"] for i in range(n)]
+    heads_s = [stats[f"head_{i}"] for i in range(n)]
+
+    def catp(path, axis=-1, trees=heads_p):
+        leaves = []
+        for t in trees:
+            for k in path.split("/"):
+                t = t[k]
+            leaves.append(t)
+        return jnp.concatenate(leaves, axis=axis)
+
+    def bn(src):
+        return (
+            {"scale": catp(f"{src}/scale"), "bias": catp(f"{src}/bias")},
+            {"mean": catp(f"{src}/mean", trees=heads_s),
+             "var": catp(f"{src}/var", trees=heads_s)},
+        )
+
+    out_p = {k: v for k, v in params.items() if not k.startswith("head_")}
+    out_s = {k: v for k, v in stats.items() if not k.startswith("head_")}
+
+    # Up.conv_0: shared input -> concat on the OUTPUT channel axis
+    out_p["mh_conv0"] = {"kernel": catp("up1/conv_0/kernel", axis=3)}
+    out_p["mh_bn0"], out_s["mh_bn0"] = bn("up1/bn_0")
+    # Up.conv_1 / up2_conv: grouped convs — flax grouped kernels are
+    # [kh, kw, in/groups, out], groups split the out axis contiguously,
+    # so per-head kernels concatenate on the output axis too
+    out_p["mh_conv1"] = {"kernel": catp("up1/conv_1/kernel", axis=3)}
+    out_p["mh_bn1"], out_s["mh_bn1"] = bn("up1/bn_1")
+    out_p["mh_up2"] = {"kernel": catp("up2_conv/kernel", axis=3)}
+    out_p["mh_up2_bn"], out_s["mh_up2_bn"] = bn("up2_bn")
+
+    # 1x1 projections -> one block-diagonal matmul (zero off-blocks add
+    # exact zeros in f32)
+    cin = heads_p[0]["proj"]["kernel"].shape[2]
+    total = int(sum(num_classes))
+    kern = jnp.zeros((1, 1, cin * n, total),
+                     heads_p[0]["proj"]["kernel"].dtype)
+    off = 0
+    for i, nc in enumerate(num_classes):
+        kern = kern.at[:, :, i * cin:(i + 1) * cin,
+                       off:off + int(nc)].set(heads_p[i]["proj"]["kernel"])
+        off += int(nc)
+    out_p["mh_proj"] = {
+        "kernel": kern,
+        "bias": catp("proj/bias"),
+    }
+    return out_p, out_s
+
+
+def merge_heads_in_variables(variables: dict, num_classes: Sequence[int],
+                             path: Sequence[str] = ("backbone",
+                                                    "bevclassifier")):
+    """Rewrite a full model variables tree: the bevclassifier at ``path``
+    gets its per-head params replaced by the merged ``mh_*`` tree."""
+
+    def sub(tree, path):
+        for k in path:
+            tree = tree[k]
+        return tree
+
+    def setdeep(tree, path, value):
+        if not path:
+            return value
+        out = dict(tree)
+        out[path[0]] = setdeep(tree[path[0]], path[1:], value)
+        return out
+
+    p, s = merge_decoder_head_variables(
+        sub(variables["params"], path),
+        sub(variables.get("batch_stats", {}), path),
+        num_classes,
+    )
+    out = dict(variables)
+    out["params"] = setdeep(variables["params"], tuple(path), p)
+    if "batch_stats" in variables:
+        out["batch_stats"] = setdeep(
+            variables["batch_stats"], tuple(path), s)
+    return out
