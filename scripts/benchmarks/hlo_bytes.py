@@ -24,6 +24,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="compile the B=N serving graph instead of the "
+                         "single-frame graph (VERDICT r4 #1: attribute "
+                         "where the batched layout's bytes bloat)")
     args = ap.parse_args()
 
     from creste_public_tpu.utils.platform import ensure_env_platform
@@ -36,7 +40,8 @@ def main():
     from creste_public_tpu.runtime.precision import cast_variables
 
     fn, (variables, rgbd, p2p) = entry(
-        compute_dtype="bfloat16" if args.bf16 else None)
+        compute_dtype="bfloat16" if args.bf16 else None,
+        batch=args.batch)
     if args.bf16:
         variables = cast_variables(variables)
 
@@ -74,7 +79,9 @@ def main():
         rows.append((nbytes, dt, op, mm.group(1) if mm else name, dims))
 
     total = sum(by_dtype.values())
-    print(f"total materialized result bytes: {total/1e9:.3f} GB")
+    print(f"total materialized result bytes: {total/1e9:.3f} GB"
+          + (f"  ({total/args.batch/1e9:.3f} GB/frame at B={args.batch})"
+             if args.batch > 1 else ""))
     for dt, b in by_dtype.most_common():
         print(f"  {dt:5s}: {b/1e9:7.3f} GB  ({100*b/total:5.1f}%)")
     print(f"\ntop {args.top} instructions by result bytes:")
