@@ -145,6 +145,12 @@ def run_training(
     # auto-resume: pick up the latest checkpoint under ckpt_dir
     # (trainer.fit(ckpt_path=...) equivalent, train_ssc.py:358) — opt-in via
     # trainer.resume=true so fresh runs into a dirty dir stay explicit.
+    # Resume is POSITION-faithful (VERDICT r4 #7, Lightning ckpt_path
+    # semantics): the epoch index and loader position are derived from the
+    # restored step (epoch loaders are seeded per-epoch, so skipping
+    # replays the identical batch order) and the per-step rng stream is
+    # fast-forwarded — a killed-and-resumed run continues the exact loss
+    # trajectory of an uninterrupted one.
     start_step = 0
     if tcfg.get("resume", False):
         latest = ckpt.latest_checkpoint(ckpt_dir)
@@ -165,6 +171,14 @@ def run_training(
 
     rng = jax.random.PRNGKey(int(tcfg.get("seed", 0)))
     global_step = start_step
+    # mid-epoch resume position: epoch to re-enter + batches to skip there
+    start_epoch = start_step // steps_per_epoch
+    skip_batches = start_step % steps_per_epoch
+    for _ in range(start_step):  # replay the per-step rng splits
+        rng, _ = jax.random.split(rng)
+    # periodic mid-epoch checkpoints (Lightning every_n_train_steps):
+    # without these a preemption loses the whole current epoch
+    ckpt_every = int(tcfg.get("ckpt_every_n_steps", 0))
 
     # profiling (SURVEY §5: the reference has no profiler; jax.profiler
     # traces are this framework's native observability): trainer.profile_dir
@@ -175,10 +189,18 @@ def run_training(
     profiling = False
 
     t0 = time.time()
-    for epoch in range(max_epochs):
+    for epoch in range(start_epoch, max_epochs):
         epoch_metrics = defaultdict(list)
-        batches = it if epoch == 0 else iter(factory(epoch))
-        for item in _chain_first(sample if epoch == 0 else None, batches):
+        if epoch == 0 and start_step == 0:
+            batches = _chain_first(sample, it)
+        else:
+            # fresh per-epoch iterator; on the resumed epoch, skip the
+            # batches already trained (seeded loaders replay the order)
+            batches = iter(factory(epoch))
+        if epoch == start_epoch and skip_batches:
+            for _ in range(skip_batches):
+                next(batches, None)
+        for item in batches:
             # multi-task iterators yield (task, batch) pairs
             if isinstance(item, tuple) and len(item) == 2 and isinstance(
                 item[0], str
@@ -200,6 +222,8 @@ def run_training(
             rng, sub = jax.random.split(rng)
             state, metrics = get_step(batch_task)(state, sharded, sub)
             global_step += 1
+            if ckpt_every and global_step % ckpt_every == 0:
+                ckpt.save_checkpoint(ckpt_dir, global_step, state)
             if profiling and global_step >= profile_start + profile_steps:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
