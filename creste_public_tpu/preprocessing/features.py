@@ -250,6 +250,15 @@ def build_extractor(name: str = "auto", stride: int = 7,
                     **kwargs) -> FeatureExtractor:
     if name in ("auto", "dinov2"):
         try:
+            # CRESTE_DINOV2_MODEL points at a local HF checkpoint dir
+            # (or an alternate hub id); unset -> facebook/dinov2-base
+            # from the hub cache (reference torch.hub dinov2_vitb14,
+            # feature_extractor.py:176-178)
+            import os
+
+            env = os.environ.get("CRESTE_DINOV2_MODEL")
+            if env and "model_name" not in kwargs:
+                kwargs["model_name"] = env
             return DinoV2Extractor(stride=stride, **kwargs)
         except Exception:
             if name == "dinov2":

@@ -24,6 +24,7 @@ coda_constants.SAM_DYNAMIC_LABEL_MAP (reference coda_utils.py:6-31).
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Protocol
 
@@ -167,22 +168,31 @@ class GroundingDinoDetector:
                                 return_tensors="pt")
         with _t.no_grad():
             outputs = self.model(**inputs)
+        # transformers renamed box_threshold -> threshold (>=4.51); this
+        # call path only executes with real weights, so it is pinned by
+        # the tiny-artifact engagement test (tests/test_real_backends.py)
         results = self.processor.post_process_grounded_object_detection(
-            outputs, inputs.input_ids, box_threshold=self.box_threshold,
+            outputs, inputs.input_ids, threshold=self.box_threshold,
             text_threshold=self.text_threshold,
             target_sizes=[pil.size[::-1]])
         boxes = results[0]["boxes"].cpu().numpy()
+        labels = results[0].get("text_labels", results[0]["labels"])
         cls = np.array([
             SAM_DYNAMIC_LABEL_MAP.get(
                 self._synonyms.get(lbl, lbl), 0)
-            for lbl in results[0]["labels"]
-        ])
-        return boxes, cls
+            for lbl in labels
+        ], dtype=np.int64)
+        return boxes.reshape(-1, 4), cls
 
 
-def try_load_detector() -> Detector | None:
+def try_load_detector(model_id: str | None = None) -> Detector | None:
+    """Real GroundingDINO when weights resolve (hub cache or a local HF
+    checkpoint dir via ``CRESTE_GROUNDING_DINO``), else None — callers
+    fall back to the deterministic fakes."""
+    model_id = model_id or os.environ.get(
+        "CRESTE_GROUNDING_DINO", "IDEA-Research/grounding-dino-base")
     try:
-        return GroundingDinoDetector()
+        return GroundingDinoDetector(model_id=model_id)
     except Exception:
         return None
 
@@ -213,9 +223,88 @@ class HFSamMaskPredictor:
         return masks[:, 0].numpy().astype(bool)
 
 
-def try_load_mask_predictor() -> MaskPredictor | None:
+class HFSamAutoMaskGenerator:
+    """Torchvision-free automatic mask generation over SamModel: an
+    n x n point grid prompted through the model, IoU-score filtered and
+    greedily deduplicated with ``mask_iou``. Replaces the HF
+    "mask-generation" pipeline (whose postprocess requires torchvision's
+    batched_nms, absent in this image) for the static SAM label path
+    (reference create_sam_dataset.py:195,451-497
+    SAM2AutomaticMaskGenerator)."""
+
+    def __init__(self, model_id="facebook/sam-vit-huge",
+                 points_per_side: int = 8, pred_iou_thresh: float = 0.5,
+                 dedup_iou: float = 0.7, points_per_batch: int = 64):
+        from transformers import SamModel, SamProcessor
+
+        self.processor = SamProcessor.from_pretrained(model_id)
+        self.model = SamModel.from_pretrained(model_id).eval()
+        self.n = points_per_side
+        self.pred_iou_thresh = pred_iou_thresh
+        self.dedup_iou = dedup_iou
+        self.points_per_batch = points_per_batch
+
+    def generate(self, image: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """image [H, W, 3] uint8 -> (masks [N, H, W] bool, scores [N])."""
+        import torch as _t
+        from PIL import Image
+
+        H, W = image.shape[:2]
+        ys = (np.arange(self.n) + 0.5) * H / self.n
+        xs = (np.arange(self.n) + 0.5) * W / self.n
+        pts = [[[float(x), float(y)]] for y in ys for x in xs]
+        pil = Image.fromarray(image)
+        all_masks, all_scores = [], []
+        for i in range(0, len(pts), self.points_per_batch):
+            chunk = pts[i:i + self.points_per_batch]
+            inputs = self.processor(pil, input_points=[chunk],
+                                    return_tensors="pt")
+            with _t.no_grad():
+                out = self.model(**inputs, multimask_output=True)
+            masks = self.processor.image_processor.post_process_masks(
+                out.pred_masks.cpu(), inputs["original_sizes"].cpu(),
+                inputs["reshaped_input_sizes"].cpu())[0]  # [P, 3, H, W]
+            scores = out.iou_scores.cpu()[0]  # [P, 3]
+            best = scores.argmax(-1)
+            idx = _t.arange(masks.shape[0])
+            all_masks.append(masks[idx, best].numpy().astype(bool))
+            all_scores.append(scores[idx, best].numpy())
+        masks = np.concatenate(all_masks, 0)
+        scores = np.concatenate(all_scores, 0)
+        keep_q = scores >= self.pred_iou_thresh
+        masks, scores = masks[keep_q], scores[keep_q]
+        # greedy dedup, best score first (the batched_nms role)
+        order = np.argsort(-scores)
+        kept: list[int] = []
+        for j in order:
+            if not masks[j].any():
+                continue
+            if all(mask_iou(masks[j], masks[k]) < self.dedup_iou
+                   for k in kept):
+                kept.append(int(j))
+        return masks[kept], scores[kept]
+
+
+def try_load_auto_mask_generator(
+        model_id: str | None = None, **kwargs
+) -> HFSamAutoMaskGenerator | None:
+    """Real SAM automatic mask generation when weights resolve (hub cache
+    or ``CRESTE_SAM_MODEL``), else None."""
+    model_id = model_id or os.environ.get(
+        "CRESTE_SAM_MODEL", "facebook/sam-vit-huge")
     try:
-        return HFSamMaskPredictor()
+        return HFSamAutoMaskGenerator(model_id=model_id, **kwargs)
+    except Exception:
+        return None
+
+
+def try_load_mask_predictor(model_id: str | None = None) -> MaskPredictor | None:
+    """Real SAM when weights resolve (hub cache or a local HF checkpoint
+    dir via ``CRESTE_SAM_MODEL``), else None."""
+    model_id = model_id or os.environ.get(
+        "CRESTE_SAM_MODEL", "facebook/sam-vit-huge")
+    try:
+        return HFSamMaskPredictor(model_id=model_id)
     except Exception:
         return None
 

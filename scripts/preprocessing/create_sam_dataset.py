@@ -27,12 +27,15 @@ import numpy as np
 
 
 def build_mask_generator():
-    try:
-        from transformers import pipeline
+    """Real SAM automatic mask generation when weights resolve (hub cache
+    or a local HF checkpoint dir via CRESTE_SAM_MODEL), else None. Uses
+    the in-tree point-grid generator — the HF "mask-generation" pipeline
+    postprocess needs torchvision (absent in this image)."""
+    from creste_public_tpu.preprocessing.video_tracking import (
+        try_load_auto_mask_generator,
+    )
 
-        return pipeline("mask-generation", model="facebook/sam-vit-huge")
-    except Exception:
-        return None
+    return try_load_auto_mask_generator()
 
 
 def masks_to_instance_map(masks, scores, hw):
@@ -89,11 +92,9 @@ def run_static(args, seq):
             continue
         img = np.asarray(Image.open(p).convert("RGB"))
         if gen is not None:
-            res = gen(Image.fromarray(img), points_per_batch=64)
+            masks, scores = gen.generate(img)
             inst = masks_to_instance_map(
-                [np.asarray(m) for m in res["masks"]],
-                res.get("scores", [1.0] * len(res["masks"])),
-                img.shape[:2],
+                list(masks), list(scores), img.shape[:2],
             )
         else:
             inst = placeholder_instances(img, seed=frame)
