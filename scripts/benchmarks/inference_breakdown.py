@@ -83,25 +83,27 @@ def main():
 
     fn, _ = entry()
 
-    rows = []
-    rows.append(("backbone (EffNet+heads)",
-                 stage_ms(backbone_only, tvars, rgbd, p2p, None, args.iters)))
-    rows.append(("full TerrainNet (+splat+decoder)",
-                 stage_ms(terrain_full, tvars, rgbd, p2p, None, args.iters)))
-    rows.append(("deployment graph (+VIN reward)",
-                 stage_ms(fn, variables, rgbd, p2p,
-                          "traversability_preds", args.iters)))
+    stages = [
+        ("backbone (EffNet+heads)", backbone_only, tvars, None),
+        ("full TerrainNet (+splat+decoder)", terrain_full, tvars, None),
+        ("deployment graph (+VIN reward)", fn, variables,
+         "traversability_preds"),
+    ]
 
-    for name, ms in rows:
-        print(f"{name:36s}: {ms:7.3f} ms/frame  ({1000.0 / ms:7.1f} Hz)")
-
-    if args.batch > 1:
-        rgbd_b, p2p_b = _example_inputs(Config(terrain_cfg), B=args.batch)
-        ms = stage_ms(fn, variables, rgbd_b, p2p_b, "traversability_preds",
-                      args.iters)
-        print(f"batch={args.batch:2d} deployment graph         : "
-              f"{ms:7.3f} ms/batch  ({args.batch * 1000.0 / ms:7.1f} "
-              f"samples/s)")
+    # B=1 vs B=N per-stage attribution (VERDICT r4 #1: the batched serving
+    # graph's HBM util collapses 94%->61% — find WHICH stage's per-frame
+    # time inflates under batching)
+    B = max(args.batch, 1)
+    rgbd_b, p2p_b = (rgbd, p2p) if B == 1 else _example_inputs(
+        Config(terrain_cfg), B=B)
+    for name, f, v, key in stages:
+        ms1 = stage_ms(f, v, rgbd, p2p, key, args.iters)
+        line = f"{name:36s}: {ms1:7.3f} ms/frame  ({1000.0 / ms1:7.1f} Hz)"
+        if B > 1:
+            msb = stage_ms(f, v, rgbd_b, p2p_b, key, args.iters) / B
+            line += (f"  | B={B}: {msb:7.3f} ms/frame "
+                     f"({1000.0 / msb:7.1f} fps, x{msb / ms1:.2f})")
+        print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -39,15 +39,30 @@ import time
 import numpy as np
 
 
-def timed(fn, make_args, iters):
+# per-process salt: the axon tunnel memoizes (program, args) ACROSS
+# processes (runtime/benchmark.py) — deterministic perturbations would
+# replay into the cache on a rerun of this tool
+_SALT = np.float32(((_os.getpid() ^ time.time_ns()) % 997) * 1e-7)
+
+
+def _fence(out):
+    """Materialize a value: block_until_ready is intermittently lazy on
+    the tunnel (CLAUDE.md) — only a D2H fetch always fences."""
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    # index first, then fetch: float() D2Hs ONE element instead of
+    # np.asarray()'s whole-array transfer skewing the timing
+    return float(leaf.reshape(-1)[0])
+
+
+def timed(fn, make_args, iters):
     fn(*make_args(0))  # compile
     ts = []
     for i in range(1, iters + 1):
         a = make_args(i)
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*a))
+        _fence(fn(*a))
         ts.append(time.perf_counter() - t0)
     return float(np.percentile(ts, 50)) * 1e3
 
@@ -126,7 +141,7 @@ def main():
         return out["inpainting_sam_preds"]
 
     def fresh_img(i):
-        return (variables, rgbd + jnp.float32(i) * 1e-4)
+        return (variables, rgbd + jnp.float32(i) * 1e-4 + _SALT)
 
     results = {}
     results["fwd_backbone_ms"] = timed(fwd_backbone, fresh_img, args.iters)
@@ -158,7 +173,7 @@ def main():
 
     def fresh_batch(i):
         b = dict(hb)
-        b["image"] = hb["image"] + jnp.float32(i) * 1e-4
+        b["image"] = hb["image"] + jnp.float32(i) * 1e-4 + _SALT
         return (state.params, state.batch_stats, b, rng)
 
     results["fwd_loss_ms"] = timed(fwd_loss, fresh_batch, args.iters)
@@ -180,7 +195,8 @@ def main():
 
     results["opt_only_ms"] = timed(
         opt_only,
-        lambda i: (jax.tree_util.tree_map(lambda x: x + i * 1e-6, g0),
+        lambda i: (jax.tree_util.tree_map(
+            lambda x: x + i * 1e-6 + _SALT, g0),
                    state.opt_state, state.params),
         args.iters)
 
@@ -191,7 +207,7 @@ def main():
     for i in range(args.iters):
         t0 = time.perf_counter()
         cur, metrics = step(cur, sb, jax.random.fold_in(rng, i))
-        jax.block_until_ready((cur, metrics))
+        float(metrics["loss"])  # D2H value fence (lazy block_until_ready)
         ts.append(time.perf_counter() - t0)
     results["full_step_ms"] = float(np.percentile(ts, 50)) * 1e3
 
