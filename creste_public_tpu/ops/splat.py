@@ -94,8 +94,22 @@ def splat_bilinear(
         updates = jnp.concatenate(
             [w4[..., None] * feats4, w4[..., None]], axis=-1
         )  # [B, 4P, F+1]
-        acc = jnp.zeros((B, n_vox, F + 1), jnp.float32)
-        acc = acc.at[batch_ix, idx4].add(updates, mode="drop")
+        if B > 1:
+            # Batched index layout, measured on v5e (splat_bench.py):
+            # a single FLAT index space hits the scatter hardware floor
+            # at B=8 (3.112 ms/frame, == the unique-indices ceiling, vs
+            # 3.354 for the 2-D (batch, voxel) index form), while at B=1
+            # the 2-D form wins (2.558 vs 2.734) — so pick by batch.
+            flat_idx = (
+                jnp.arange(B, dtype=jnp.int32)[:, None] * n_vox + idx4
+            ).reshape(-1)
+            acc = jnp.zeros((B * n_vox, F + 1), jnp.float32)
+            acc = acc.at[flat_idx].add(
+                updates.reshape(B * idx4.shape[1], F + 1), mode="drop"
+            ).reshape(B, n_vox, F + 1)
+        else:
+            acc = jnp.zeros((B, n_vox, F + 1), jnp.float32)
+            acc = acc.at[batch_ix, idx4].add(updates, mode="drop")
         features = acc[..., :F]
         densities = acc[..., F]
     elif mode == "max":

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--iters", type=int, default=30,
                     help="scan length for the serialized measurement")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--bf16", action="store_true",
+                    help="attribute the bf16 stream-mode graph instead "
+                         "(per-stage share of its small-op latency floor, "
+                         "VERDICT r4 #4)")
     args = ap.parse_args()
 
     from creste_public_tpu.utils.platform import ensure_env_platform
@@ -57,10 +61,18 @@ def main():
 
     cfg = presets.traversability_model_config()
     cfg["solve_mdp"] = False
-    model = MaxEntIRL(cfg.to_dict())
-    terrain_cfg = cfg["vision_backbone"]
+    cfg_dict = cfg.to_dict()
+    terrain_cfg = cfg_dict["vision_backbone"]
+    if args.bf16:
+        cfg_dict["compute_dtype"] = "bfloat16"
+        terrain_cfg["compute_dtype"] = "bfloat16"
+    model = MaxEntIRL(cfg_dict)
     rgbd, p2p = _example_inputs(Config(terrain_cfg))
     variables = model.init({"params": jax.random.PRNGKey(0)}, rgbd, p2p)
+    if args.bf16:
+        from creste_public_tpu.runtime.precision import cast_variables
+
+        variables = cast_variables(variables)
 
     tnet = TerrainNet(terrain_cfg)
     tvars = {"params": variables["params"]["backbone"],
@@ -81,7 +93,8 @@ def main():
         return TerrainNet(terrain_cfg).apply(
             v, r, p, None, False)["inpainting_sam_preds"]
 
-    fn, _ = entry()
+    fn, _ = entry(compute_dtype="bfloat16" if args.bf16 else None,
+                  variables=variables)
 
     stages = [
         ("backbone (EffNet+heads)", backbone_only, tvars, None),

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--points", type=int, default=2 * 128 * 153)
     ap.add_argument("--feats", type=int, default=96)
     ap.add_argument("--grid", type=int, default=256)
+    ap.add_argument("--variants", default=None,
+                    help="comma-separated subset to time (default: all)")
     args = ap.parse_args()
 
     from creste_public_tpu.utils.platform import (
@@ -127,12 +129,28 @@ def main():
                                    mode="drop", unique_indices=True)
         return acc.reshape(B, n_vox, F + 1)
 
+    def splat_bf16_acc(xy, feats):
+        # bf16 update stream AND bf16 accumulator: if the scatter is
+        # read-modify-write byte-paced, halving the row bytes halves the
+        # time. NOT parity-exact (the accumulator loses mantissa under
+        # collisions) — candidate for the opt-in bf16 stream mode only.
+        B = feats.shape[0]
+        idx4, w4 = _corners(xy)
+        f16 = feats.astype(jnp.bfloat16)
+        w16 = w4.astype(jnp.bfloat16)
+        feats4 = jnp.tile(f16, (1, 4, 1))
+        upd = jnp.concatenate([w16[..., None] * feats4, w16[..., None]], -1)
+        acc = jnp.zeros((B, n_vox, F + 1), jnp.bfloat16)
+        acc = acc.at[jnp.arange(B)[:, None], idx4].add(upd, mode="drop")
+        return acc
+
     variants = {
         "batched": lambda xy, f: splat_bilinear(
             xy, f, (H, W), mode="mean")[0],
         "flat": splat_flat,
         "sorted": splat_sorted,
         "unique_hint": splat_unique_hint,
+        "bf16_acc": splat_bf16_acc,
     }
 
     # numerics check (CPU-cheap shapes suffice on any backend)
@@ -153,6 +171,12 @@ def main():
             print(f"numerics {name} vs batched: max|Δ| = {dev:.2e}",
                   flush=True)
             assert dev < 2e-2, f"{name} diverges"
+    out16 = np.asarray(jax.jit(variants["bf16_acc"])(xy0, f0),
+                       dtype=np.float32)
+    rs = float(np.max(np.abs(ref))) or 1.0
+    dev16 = float(np.max(np.abs(out16.reshape(ref.shape) - ref)))
+    print(f"numerics bf16_acc vs batched: max|Δ| = {dev16:.2e} "
+          f"(rel {dev16 / rs:.2e}; opt-in, not parity-exact)", flush=True)
 
     # scan-difference timing (runtime/benchmark.py method): the per-call
     # tunnel RPC (~30-45 ms) swamps a ms-scale op, and the runtime
@@ -187,8 +211,12 @@ def main():
         return (med[n_long] - med[1]) / (n_long - 1) * 1e3 / B
 
     line = {"metric": "splat scatter ms/frame", "points": P, "feats": F}
+    timed_variants = variants
+    if args.variants:
+        keep = set(args.variants.split(","))
+        timed_variants = {k: v for k, v in variants.items() if k in keep}
     for B in [int(b) for b in args.batches.split(",")]:
-        for name, f in variants.items():
+        for name, f in timed_variants.items():
             ms = scan_ms_per_frame(f, B)
             line[f"{name}_B{B}_ms_per_frame"] = round(ms, 3)
             print(f"B={B:2d} {name:12s}: {ms:8.3f} ms/frame", flush=True)
