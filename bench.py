@@ -253,6 +253,25 @@ def main() -> None:
 
         variant("batch", run_batch)
 
+        if args.bf16:
+            def run_bf16_batch():
+                # composed serving mode: the B>1 graph is COMPUTE-bound
+                # (per-frame bytes drop as weights amortise — intensity
+                # 134 vs 95 at B=8, above the f32 ridge), so the bf16
+                # MXU rate is the one lever batching leaves open
+                fnB16, (_, rgbdB, p2pB) = entry(
+                    compute_dtype="bfloat16", variables=variables,
+                    batch=args.batch)
+                per16, _ = serialized_latency(
+                    fnB16, vb, rgbdB, p2pB, "traversability_preds"
+                )
+                line["bf16_batch_fps"] = round(args.batch / per16, 2)
+                cs16b = cost_stats(fnB16, vb, rgbdB, p2pB)
+                line.update({f"bf16_batch_{k}": v for k, v in mfu_fields(
+                    cs16b["flops"], cs16b["bytes"], per16).items()})
+
+            variant("bf16_batch", run_bf16_batch)
+
     if args.bf16 and args.fused:
         def run_bf16_fused():
             # combined opt-in deployment mode: bf16 activation stream on

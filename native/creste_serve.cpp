@@ -559,6 +559,82 @@ int main(int argc, char** argv) {
           .count();
   double per_frame_ms = total_s / timed * 1e3;
 
+  // ---- sequential STREAMING baseline (fresh H2D per frame) ----
+  // The loop above times pre-staged inputs (execute+fence only), while
+  // the pipelined phase below pays a fresh H2D per frame — so the two
+  // aren't comparable. This baseline runs the exact per-frame work of
+  // the pipelined phase (stage -> execute -> fence -> destroy) with NO
+  // overlap; pipeline speedup = seq_stream_ms / pipeline_ms, and
+  // "period ~= max(leg) vs sum(legs)" is judged against THIS number.
+  double seq_stream_ms = 0.0;
+  int sframes = 0;
+  if (pipeline > 1 && iters > 1) {
+    sframes = iters;
+    auto ts0 = std::chrono::steady_clock::now();
+    for (int i = 0; i < sframes; ++i) {
+      std::vector<PJRT_Buffer*> ins =
+          stage_set(0x85ebca6bu + (uint64_t)i);  // fresh salted H2D
+      PJRT_Buffer* const* arg_list = ins.data();
+      std::vector<PJRT_Buffer*> souts(num_outputs, nullptr);
+      PJRT_Buffer** out_list = souts.data();
+      PJRT_Event* done = nullptr;
+      PJRT_ExecuteOptions opts;
+      memset(&opts, 0, sizeof(opts));
+      opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+      PJRT_LoadedExecutable_Execute_Args ex;
+      memset(&ex, 0, sizeof(ex));
+      ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+      ex.executable = exec;
+      ex.options = &opts;
+      ex.argument_lists = &arg_list;
+      ex.num_devices = 1;
+      ex.num_args = num_args;
+      ex.output_lists = &out_list;
+      ex.device_complete_events = &done;
+      Check(g_api->PJRT_LoadedExecutable_Execute(&ex), "seq-Execute");
+      AwaitAndDestroy(done, "seq-execute-done");
+      if (!souts.empty() && souts[0]) {
+        PJRT_Buffer_ToHostBuffer_Args th;
+        memset(&th, 0, sizeof(th));
+        th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+        th.src = souts[0];
+        Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "seq-d2h(size)");
+        std::vector<uint8_t> sink(th.dst_size);
+        memset(&th, 0, sizeof(th));
+        th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+        th.src = souts[0];
+        th.dst = sink.data();
+        th.dst_size = sink.size();
+        Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "seq-d2h(fence)");
+        AwaitAndDestroy(th.event, "seq-d2h");
+      }
+      for (PJRT_Buffer* b : souts) {
+        if (!b) continue;
+        PJRT_Buffer_Destroy_Args d;
+        memset(&d, 0, sizeof(d));
+        d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+        d.buffer = b;
+        g_api->PJRT_Buffer_Destroy(&d);
+      }
+      for (PJRT_Buffer* b : ins) {
+        if (!b) continue;
+        PJRT_Buffer_Destroy_Args d;
+        memset(&d, 0, sizeof(d));
+        d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+        d.buffer = b;
+        g_api->PJRT_Buffer_Destroy(&d);
+      }
+    }
+    seq_stream_ms = std::chrono::duration<double>(
+                        std::chrono::steady_clock::now() - ts0)
+                        .count() /
+                    sframes * 1e3;
+    fprintf(stderr,
+            "sequential streaming (fresh H2D per frame, no overlap): "
+            "%.3f ms/frame over %d frames\n",
+            seq_stream_ms, sframes);
+  }
+
   // ---- pipelined steady-state phase (VERDICT r4 #2) ----
   // Streaming-consumer model (the reference deploys a realtime C++ node,
   // README.md:40-43): the producer thread stages frame i+1's H2D and
@@ -717,11 +793,15 @@ int main(int argc, char** argv) {
 
   std::string pipe_json;
   if (pframes > 0) {
-    char pb[160];
+    char pb[320];
     snprintf(pb, sizeof(pb),
+             "\"seq_stream_per_frame_ms\": %.3f, \"seq_stream_hz\": %.2f, "
              "\"pipeline_depth\": %d, \"pipeline_per_frame_ms\": %.3f, "
-             "\"pipeline_hz\": %.2f, \"pipeline_frames\": %d, ",
-             pipeline, pipeline_ms, 1e3 / pipeline_ms, pframes);
+             "\"pipeline_hz\": %.2f, \"pipeline_frames\": %d, "
+             "\"pipeline_speedup\": %.3f, ",
+             seq_stream_ms, seq_stream_ms > 0 ? 1e3 / seq_stream_ms : 0.0,
+             pipeline, pipeline_ms, 1e3 / pipeline_ms, pframes,
+             pipeline_ms > 0 ? seq_stream_ms / pipeline_ms : 0.0);
     pipe_json = pb;
   }
   printf(
