@@ -421,12 +421,23 @@ int main(int argc, char** argv) {
   // fill (inputs pinned via --in always use the file bytes). Blocks until
   // the H2D transfer completes — on the streaming path this IS the
   // transport leg.
-  auto stage_set = [&](uint64_t seed) {
-    std::vector<PJRT_Buffer*> set;
+  // Async variant: enqueues the H2D transfers WITHOUT awaiting them. The
+  // caller owns `hosts` (must stay alive until each done event fires —
+  // kImmutableUntilTransferCompletes) and the returned events. This is
+  // what lets the streaming phase pipeline H2Ds on the wire instead of
+  // paying a full round trip per frame before Execute.
+  struct StagedSet {
+    std::vector<PJRT_Buffer*> bufs;
+    std::vector<std::vector<uint8_t>> hosts;
+    std::vector<PJRT_Event*> h2d_events;
+  };
+  auto stage_set_async = [&](uint64_t seed) {
+    StagedSet s;
     for (size_t i = 0; i < num_args; ++i) {
       const TensorSpec& t = inputs[i];
       PJRT_Buffer_Type ty = TypeOf(t.dtype);
-      std::vector<uint8_t> host(NumElems(t) * ByteWidth(ty));
+      s.hosts.emplace_back(NumElems(t) * ByteWidth(ty));
+      std::vector<uint8_t>& host = s.hosts.back();
       if (!real[i].empty())
         host = real[i];
       else
@@ -444,10 +455,15 @@ int main(int argc, char** argv) {
       b.device = device;
       Check(g_api->PJRT_Client_BufferFromHostBuffer(&b),
             "BufferFromHostBuffer");
-      AwaitAndDestroy(b.done_with_host_buffer, "h2d");
-      set.push_back(b.buffer);
+      s.h2d_events.push_back(b.done_with_host_buffer);
+      s.bufs.push_back(b.buffer);
     }
-    return set;
+    return s;
+  };
+  auto stage_set = [&](uint64_t seed) {
+    StagedSet s = stage_set_async(seed);
+    for (PJRT_Event*& ev : s.h2d_events) AwaitAndDestroy(ev, "h2d");
+    return std::move(s.bufs);
   };
   std::vector<std::vector<PJRT_Buffer*>> sets(distinct);
   for (int s = 0; s < distinct; ++s) sets[s] = stage_set((uint64_t)s);
@@ -567,13 +583,17 @@ int main(int argc, char** argv) {
   // overlap; pipeline speedup = seq_stream_ms / pipeline_ms, and
   // "period ~= max(leg) vs sum(legs)" is judged against THIS number.
   double seq_stream_ms = 0.0;
+  double seq_h2d_ms = 0.0, seq_exec_ms = 0.0, seq_d2h_ms = 0.0;
   int sframes = 0;
   if (pipeline > 1 && iters > 1) {
     sframes = iters;
     auto ts0 = std::chrono::steady_clock::now();
     for (int i = 0; i < sframes; ++i) {
+      auto tl0 = std::chrono::steady_clock::now();
       std::vector<PJRT_Buffer*> ins =
           stage_set(0x85ebca6bu + (uint64_t)i);  // fresh salted H2D
+      auto tl1 = std::chrono::steady_clock::now();
+      seq_h2d_ms += std::chrono::duration<double>(tl1 - tl0).count() * 1e3;
       PJRT_Buffer* const* arg_list = ins.data();
       std::vector<PJRT_Buffer*> souts(num_outputs, nullptr);
       PJRT_Buffer** out_list = souts.data();
@@ -593,6 +613,8 @@ int main(int argc, char** argv) {
       ex.device_complete_events = &done;
       Check(g_api->PJRT_LoadedExecutable_Execute(&ex), "seq-Execute");
       AwaitAndDestroy(done, "seq-execute-done");
+      auto tl2 = std::chrono::steady_clock::now();
+      seq_exec_ms += std::chrono::duration<double>(tl2 - tl1).count() * 1e3;
       if (!souts.empty() && souts[0]) {
         PJRT_Buffer_ToHostBuffer_Args th;
         memset(&th, 0, sizeof(th));
@@ -607,6 +629,9 @@ int main(int argc, char** argv) {
         th.dst_size = sink.size();
         Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "seq-d2h(fence)");
         AwaitAndDestroy(th.event, "seq-d2h");
+        seq_d2h_ms += std::chrono::duration<double>(
+                          std::chrono::steady_clock::now() - tl2)
+                          .count() * 1e3;
       }
       for (PJRT_Buffer* b : souts) {
         if (!b) continue;
@@ -629,10 +654,14 @@ int main(int argc, char** argv) {
                         std::chrono::steady_clock::now() - ts0)
                         .count() /
                     sframes * 1e3;
+    seq_h2d_ms /= sframes;
+    seq_exec_ms /= sframes;
+    seq_d2h_ms /= sframes;
     fprintf(stderr,
             "sequential streaming (fresh H2D per frame, no overlap): "
-            "%.3f ms/frame over %d frames\n",
-            seq_stream_ms, sframes);
+            "%.3f ms/frame over %d frames "
+            "(legs: h2d %.3f, exec %.3f, d2h %.3f)\n",
+            seq_stream_ms, sframes, seq_h2d_ms, seq_exec_ms, seq_d2h_ms);
   }
 
   // ---- pipelined steady-state phase (VERDICT r4 #2) ----
@@ -649,7 +678,7 @@ int main(int argc, char** argv) {
   int pframes = 0;
   if (pipeline > 1 && iters > 1) {
     struct InFlight {
-      std::vector<PJRT_Buffer*> ins;
+      StagedSet staged;  // ins + owned host bytes + un-awaited H2D events
       std::vector<PJRT_Buffer*> outs;
       PJRT_Event* done = nullptr;
     };
@@ -680,6 +709,10 @@ int main(int argc, char** argv) {
           cv_push.notify_all();
         }
         AwaitAndDestroy(f.done, "pipe-execute-done");
+        // H2D events: by execute-done these have long fired; await so the
+        // owned host bytes can be released (kImmutableUntilTransferCompletes)
+        for (PJRT_Event*& ev : f.staged.h2d_events)
+          AwaitAndDestroy(ev, "pipe-h2d-done");
         if (!f.outs.empty() && f.outs[0]) {
           // completion fence: fetch the first output's bytes (see the
           // sequential loop's rationale — ready events can be lazy)
@@ -698,19 +731,22 @@ int main(int argc, char** argv) {
           AwaitAndDestroy(th.event, "pipe-d2h");
         }
         destroy_bufs(f.outs);
-        destroy_bufs(f.ins);
+        destroy_bufs(f.staged.bufs);
       }
     });
     pframes = iters;
     auto tp0 = std::chrono::steady_clock::now();
     for (int i = 0; i < pframes; ++i) {
       InFlight f;
-      f.ins = stage_set(0x9e3779b9u + (uint64_t)i);  // fresh salted H2D
+      // fresh salted H2D, enqueued WITHOUT awaiting: Execute's inputs
+      // carry their own ready semantics, so transfers for frame i+1 ride
+      // the wire while frame i executes/fences downstream
+      f.staged = stage_set_async(0x9e3779b9u + (uint64_t)i);
       f.outs.assign(num_outputs, nullptr);
       PJRT_ExecuteOptions opts;
       memset(&opts, 0, sizeof(opts));
       opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
-      PJRT_Buffer* const* arg_list = f.ins.data();
+      PJRT_Buffer* const* arg_list = f.staged.bufs.data();
       PJRT_Buffer** out_list = f.outs.data();
       PJRT_LoadedExecutable_Execute_Args ex;
       memset(&ex, 0, sizeof(ex));
@@ -793,13 +829,16 @@ int main(int argc, char** argv) {
 
   std::string pipe_json;
   if (pframes > 0) {
-    char pb[320];
+    char pb[448];
     snprintf(pb, sizeof(pb),
              "\"seq_stream_per_frame_ms\": %.3f, \"seq_stream_hz\": %.2f, "
+             "\"seq_h2d_ms\": %.3f, \"seq_exec_ms\": %.3f, "
+             "\"seq_d2h_ms\": %.3f, "
              "\"pipeline_depth\": %d, \"pipeline_per_frame_ms\": %.3f, "
              "\"pipeline_hz\": %.2f, \"pipeline_frames\": %d, "
              "\"pipeline_speedup\": %.3f, ",
              seq_stream_ms, seq_stream_ms > 0 ? 1e3 / seq_stream_ms : 0.0,
+             seq_h2d_ms, seq_exec_ms, seq_d2h_ms,
              pipeline, pipeline_ms, 1e3 / pipeline_ms, pframes,
              pipeline_ms > 0 ? seq_stream_ms / pipeline_ms : 0.0);
     pipe_json = pb;

@@ -186,18 +186,22 @@ def main():
 
     (_, _), g0 = grad_fn(*fresh_batch(0))
 
+    # salt INSIDE the jitted fn: perturbing every gradient leaf eagerly in
+    # make_args sprays hundreds of per-leaf tunnel RPCs that the fence then
+    # waits on (the round-5 first-cut probe measured 738 ms for a ~5 ms
+    # optimizer this way)
     @jax.jit
-    def opt_only(g, opt_state, params):
+    def opt_only(g, opt_state, params, salt):
         import optax
 
+        g = jax.tree_util.tree_map(lambda x: x + salt, g)
         updates, new_opt = tx.update(g, opt_state, params)
         return optax.apply_updates(params, updates)
 
     results["opt_only_ms"] = timed(
         opt_only,
-        lambda i: (jax.tree_util.tree_map(
-            lambda x: x + i * 1e-6 + _SALT, g0),
-                   state.opt_state, state.params),
+        lambda i: (g0, state.opt_state, state.params,
+                   jnp.float32(i) * 1e-6 + _SALT),
         args.iters)
 
     # full train step, chained state (honest end-to-end)
