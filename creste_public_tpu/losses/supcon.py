@@ -43,6 +43,35 @@ def remap_labels_per_batch(labels: Array, ignore_idx: int = 0) -> Array:
     return jnp.where(labels == ignore_idx, ignore_idx, out)
 
 
+def _kth_smallest_positive(values: Array, k: Array, upper: int) -> Array:
+    """k-th smallest (0-based) of the positive entries of ``values``.
+
+    Exact selection by binary search on the value range [1, upper]: the
+    answer is the smallest v with count(0 < values <= v) >= k+1. Each of
+    the ceil(log2(upper)) iterations is one masked reduction — O(N log U)
+    bandwidth-light work replacing an O(N log^2 N) full sort when only one
+    order statistic is needed. Caller guarantees at least k+1 positive
+    entries.
+    """
+    pos = values > 0
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        cnt = jnp.sum((pos & (values <= mid)).astype(jnp.int32))
+        take_left = cnt >= k + 1
+        return (jnp.where(take_left, lo, mid + 1),
+                jnp.where(take_left, mid, hi))
+
+    steps = max(1, int(upper).bit_length())
+    lo, _ = jax.lax.fori_loop(
+        0, steps,
+        body,
+        (jnp.asarray(1, values.dtype), jnp.asarray(upper, values.dtype)),
+    )
+    return lo
+
+
 def capped_class_sample(
     labels: Array,
     valid: Array,
@@ -107,14 +136,15 @@ def capped_class_sample(
     # median of nonzero class counts over distinct valid classes
     class_sizes = jnp.where(is_first & sorted_valid, sizes, 0)
     n_classes = jnp.sum((class_sizes > 0).astype(jnp.int32))
-    sorted_sizes = jnp.sort(
-        jnp.where(class_sizes > 0, class_sizes, jnp.asarray(2 ** 30))
-    )
-    # emulate torch .median() (lower median) on the nonzero counts
+    # emulate torch .median() (lower median) on the nonzero counts.
+    # k-th smallest via binary search on the value range (sizes are in
+    # [1, N]): ~log2(N) masked reductions instead of a second full N-sort
+    # (the sort was ~half the sampling cost at the production 1M-pixel
+    # stage-2 shape; the reduction chain is bandwidth-trivial).
     med_idx = jnp.where(n_classes % 2 == 0, jnp.maximum(n_classes // 2 - 1, 0),
                         n_classes // 2)
     median = jnp.where(
-        n_classes > 0, sorted_sizes[jnp.clip(med_idx, 0, N - 1)], 0
+        n_classes > 0, _kth_smallest_positive(class_sizes, med_idx, N), 0
     )
     k = jnp.minimum(median, cap) if use_median else jnp.asarray(cap)
 

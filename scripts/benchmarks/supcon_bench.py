@@ -6,7 +6,9 @@ almost all *forward* (losses_fwd 77 ms vs distill 4.5 ms), i.e. the
 sampling machinery, not the [M,M] contrastive matmul. This tool splits it:
 
   lexsort       jnp.lexsort of (priority, label) over N = B*H*W
-  median_sort   the second full jnp.sort used only for the class-size median
+  median_sort   a full jnp.sort of the class-size array (the pre-round-5
+                median path, retired for the binary-search selection)
+  kth_select    _kth_smallest_positive binary search (the replacement)
   sample_full   capped_class_sample end-to-end
   gather_loss   feature gather + multi_pos_con_loss at M=max_samples
   supcon_e2e    the whole loss body (sample + gather + loss)
@@ -110,6 +112,14 @@ def main():
         return jnp.sort(sizes)[N // 2]
 
     @jax.jit
+    def f_kth_select(lab, key):
+        from creste_public_tpu.losses.supcon import _kth_smallest_positive
+
+        sizes = lab.astype(jnp.int32) % 977 + jax.random.randint(
+            key, (N,), 0, 3)
+        return _kth_smallest_positive(sizes, jnp.asarray(N // 4), N)
+
+    @jax.jit
     def f_sample(lab, key):
         idx, sel = capped_class_sample(lab, flat_valid, M, cap=1000, rng=key)
         return idx.sum() + sel.sum()
@@ -131,6 +141,7 @@ def main():
         "N": N, "M": M,
         "lexsort_ms": timed(f_lexsort, mk, args.iters),
         "median_sort_ms": timed(f_median_sort, mk, args.iters),
+        "kth_select_ms": timed(f_kth_select, mk, args.iters),
         "sample_full_ms": timed(f_sample, mk, args.iters),
         "gather_loss_ms": timed(f_gather_loss, mk, args.iters),
         "supcon_e2e_ms": timed(f_e2e, mk, args.iters),

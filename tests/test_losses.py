@@ -133,6 +133,38 @@ def test_capped_class_sample():
     assert (lab[sel] == 9).sum() == 2  # small classes keep everything
 
 
+def test_kth_smallest_positive_matches_sort():
+    """The binary-search order statistic must equal the full-sort median
+    it replaced (lower median of the positive class sizes)."""
+    from creste_public_tpu.losses.supcon import _kth_smallest_positive
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(1, 64))
+        sizes = np.zeros(128, np.int32)
+        vals = rng.integers(1, 100, size=n).astype(np.int32)
+        sizes[rng.choice(128, size=n, replace=False)] = vals
+        srt = np.sort(vals)
+        for k in (0, n // 2, max(n // 2 - 1, 0), n - 1):
+            got = int(_kth_smallest_positive(
+                jnp.asarray(sizes), jnp.asarray(k), 128))
+            assert got == int(srt[k]), (trial, k, srt, got)
+
+
+def test_capped_class_sample_median_cap_exact():
+    """Median cap applies with many classes (even and odd class counts)."""
+    # class sizes: 8, 6, 4, 2 -> lower median = 4
+    labels = jnp.asarray(
+        [1] * 8 + [2] * 6 + [3] * 4 + [4] * 2, jnp.int32)
+    valid = jnp.ones((20,), bool)
+    idx, sel = capped_class_sample(labels, valid, max_samples=32,
+                                   rng=jax.random.PRNGKey(1))
+    lab = np.asarray(labels)[np.asarray(idx)]
+    sel = np.asarray(sel)
+    counts = {c: int((lab[sel] == c).sum()) for c in (1, 2, 3, 4)}
+    assert counts == {1: 4, 2: 4, 3: 4, 4: 2}
+
+
 def test_multi_pos_con_loss_prefers_aligned_features():
     Z = 8
     rng = np.random.default_rng(0)
