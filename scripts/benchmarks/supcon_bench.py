@@ -43,13 +43,18 @@ def _fence(out):
     return float(np.ravel(np.asarray(leaf))[0])
 
 
-def timed(fn, make_args, iters):
-    fn(*make_args(0))
+def timed(fn, make_args, iters, *const_args):
+    """const_args are passed as explicit jit arguments (NOT closed over):
+    a closed-over [N,Z] feature array is baked into the serialized HLO as
+    a constant, and at N=1M, Z=64 the 268 MB payload exceeds the axon
+    tunnel's remote_compile request limit (HTTP 413 — 5th measurement
+    hazard)."""
+    fn(*make_args(0), *const_args)
     ts = []
     for i in range(1, iters + 1):
         a = make_args(i)
         t0 = time.perf_counter()
-        _fence(fn(*a))
+        _fence(fn(*a, *const_args))
         ts.append(time.perf_counter() - t0)
     return float(np.percentile(ts, 50)) * 1e3
 
@@ -125,32 +130,41 @@ def main():
         return idx.sum() + sel.sum()
 
     @jax.jit
-    def f_gather_loss(lab, key):
+    def f_gather_loss(lab, key, f_all):
         idx = jax.random.randint(key, (M,), 0, N)
-        f = feats[idx]
+        f = f_all[idx]
         l = lab[idx]
         return multi_pos_con_loss(f, l, jnp.ones((M,), bool))
 
     @jax.jit
-    def f_e2e(lab, key):
+    def f_e2e(lab, key, f_all):
         idx, sel = capped_class_sample(lab, flat_valid, M, cap=1000, rng=key)
-        return multi_pos_con_loss(feats[idx], lab[idx], sel)
+        return multi_pos_con_loss(f_all[idx], lab[idx], sel)
+
+    @jax.jit
+    def f_e2e_grad(lab, key, f_all):
+        def loss_of(f):
+            idx, sel = capped_class_sample(
+                lab, flat_valid, M, cap=1000, rng=key)
+            return multi_pos_con_loss(f[idx], lab[idx], sel)
+
+        return jax.grad(loss_of)(f_all).sum()
 
     mk = lambda i: (flat_labels + jnp.int32(i % 3), salt_key(i))
-    out = {
-        "N": N, "M": M,
-        "lexsort_ms": timed(f_lexsort, mk, args.iters),
-        "median_sort_ms": timed(f_median_sort, mk, args.iters),
-        "kth_select_ms": timed(f_kth_select, mk, args.iters),
-        "sample_full_ms": timed(f_sample, mk, args.iters),
-        "gather_loss_ms": timed(f_gather_loss, mk, args.iters),
-        "supcon_e2e_ms": timed(f_e2e, mk, args.iters),
-    }
+    phases = [
+        ("lexsort_ms", f_lexsort, ()),
+        ("median_sort_ms", f_median_sort, ()),
+        ("kth_select_ms", f_kth_select, ()),
+        ("sample_full_ms", f_sample, ()),
+        ("gather_loss_ms", f_gather_loss, (feats,)),
+        ("supcon_e2e_ms", f_e2e, (feats,)),
+        ("supcon_grad_ms", f_e2e_grad, (feats,)),
+    ]
     print(f"# supcon breakdown  N={N} M={M}")
-    for k, v in out.items():
-        if k in ("N", "M"):
-            continue
-        print(f"{k:>16}: {v:8.2f}")
+    out = {"N": N, "M": M}
+    for name, fn, extra in phases:
+        out[name] = timed(fn, mk, args.iters, *extra)
+        print(f"{name:>16}: {out[name]:8.2f}", flush=True)
 
 
 if __name__ == "__main__":
