@@ -1,21 +1,30 @@
 """SupCon phase attribution at the production stage-2 shape.
 
 ssc_breakdown (round 5) measured SupPixelConLoss at ~65 ms of the 419 ms
-bf16 B=16 step — the largest single removable line item — and its cost is
-almost all *forward* (losses_fwd 77 ms vs distill 4.5 ms), i.e. the
-sampling machinery, not the [M,M] contrastive matmul. This tool splits it:
+bf16 B=16 step — the largest single removable line item. This tool splits
+the loss body over N = B*H*W = 1M pixels:
 
-  lexsort       jnp.lexsort of (priority, label) over N = B*H*W
-  median_sort   a full jnp.sort of the class-size array (the pre-round-5
-                median path, retired for the binary-search selection)
-  kth_select    _kth_smallest_positive binary search (the replacement)
+  lexsort       jnp.lexsort of (priority, label) over N
+  sort_gather   lexsort + the two [N] gathers through the order
+  kth_select    _kth_smallest_positive binary search (round-5 median)
+  median_sort   the retired full-N-sort median path, for comparison
+  compact       the 1M-update slot-compaction scatter alone (synthetic
+                keep mask — the stream-compaction cost floor)
   sample_full   capped_class_sample end-to-end
   gather_loss   feature gather + multi_pos_con_loss at M=max_samples
   supcon_e2e    the whole loss body (sample + gather + loss)
+  supcon_grad   d(loss)/d(feats) through the whole body
 
-All phases timed with fresh salted inputs and a value fence
-(runtime/benchmark.py hazards: the axon tunnel memoizes (program, args)
-across processes and block_until_ready is intermittently lazy).
+Timing is scan-difference (runtime/benchmark.py method): the per-call
+tunnel RPC (~25-40 ms) swamps ms-scale phases — a first cut of this tool
+timed single calls and every cheap probe read ~25 ms of pure RPC floor.
+Iterations are serialized inside ONE jitted program by feeding each
+step's scalar output into the next step's PRNG fold, and per-iteration
+cost is the difference between a long and a length-1 scan. Large arrays
+are explicit jit ARGUMENTS, not closures: a closed-over [N,Z] f32
+feature array is baked into the serialized HLO as a 268 MB constant and
+exceeds the tunnel's remote_compile payload limit (HTTP 413 — the 5th
+measurement hazard).
 
 Reference sampling semantics: creste/utils/loss_utils.py:203-286
 (per-class cap at min(median class count, 1000) random samples).
@@ -29,34 +38,11 @@ import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
     _os.path.abspath(__file__)))))
 import argparse
+import json
 import time
+from functools import partial
 
 import numpy as np
-
-_SALT = np.float32(((_os.getpid() ^ time.time_ns()) % 997) * 1e-7)
-
-
-def _fence(out):
-    import jax
-
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return float(np.ravel(np.asarray(leaf))[0])
-
-
-def timed(fn, make_args, iters, *const_args):
-    """const_args are passed as explicit jit arguments (NOT closed over):
-    a closed-over [N,Z] feature array is baked into the serialized HLO as
-    a constant, and at N=1M, Z=64 the 268 MB payload exceeds the axon
-    tunnel's remote_compile request limit (HTTP 413 — 5th measurement
-    hazard)."""
-    fn(*make_args(0), *const_args)
-    ts = []
-    for i in range(1, iters + 1):
-        a = make_args(i)
-        t0 = time.perf_counter()
-        _fence(fn(*a, *const_args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.percentile(ts, 50)) * 1e3
 
 
 def main():
@@ -66,6 +52,7 @@ def main():
     ap.add_argument("--feat", type=int, default=64)
     ap.add_argument("--max-samples", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
     from creste_public_tpu.utils.platform import (
@@ -80,6 +67,7 @@ def main():
     import jax.numpy as jnp
 
     from creste_public_tpu.losses.supcon import (
+        _kth_smallest_positive,
         capped_class_sample,
         multi_pos_con_loss,
         remap_labels_per_batch,
@@ -96,52 +84,59 @@ def main():
     labels = remap_labels_per_batch(jnp.asarray(labels_np), ignore_idx=0)
     flat_labels = labels.reshape(-1)
     flat_valid = jnp.asarray(valid_np).reshape(-1)
-    feats = jnp.asarray(
-        rng.standard_normal((N, Z), dtype=np.float32))
+    feats = jnp.asarray(rng.standard_normal((N, Z), dtype=np.float32))
 
     def salt_key(i):
         return jax.random.PRNGKey(
             int((i * 1009 + _os.getpid() ^ time.time_ns()) % (2 ** 31)))
 
-    @jax.jit
+    # ---- probes: (lab, key, *extra) -> scalar ----
     def f_lexsort(lab, key):
         pri = jax.random.uniform(key, (N,))
         big = jnp.asarray(2 ** 30, lab.dtype)
         kl = jnp.where(flat_valid, lab, big)
         return jnp.lexsort((pri, kl))[0]
 
-    @jax.jit
+    def f_sort_gather(lab, key):
+        pri = jax.random.uniform(key, (N,))
+        big = jnp.asarray(2 ** 30, lab.dtype)
+        kl = jnp.where(flat_valid, lab, big)
+        order = jnp.lexsort((pri, kl))
+        return kl[order][0] + flat_valid[order][-1]
+
     def f_median_sort(lab, key):
-        sizes = lab.astype(jnp.int32) + jax.random.randint(
-            key, (N,), 0, 3)  # stand-in per-element sizes array
+        sizes = lab.astype(jnp.int32) % 977 + jax.random.randint(
+            key, (N,), 0, 3)
         return jnp.sort(sizes)[N // 2]
 
-    @jax.jit
     def f_kth_select(lab, key):
-        from creste_public_tpu.losses.supcon import _kth_smallest_positive
-
         sizes = lab.astype(jnp.int32) % 977 + jax.random.randint(
             key, (N,), 0, 3)
         return _kth_smallest_positive(sizes, jnp.asarray(N // 4), N)
 
-    @jax.jit
+    def f_compact(lab, key):
+        # stream-compaction floor: cumsum + two 1M-update scatters into M
+        # slots (the tail of capped_class_sample), keep mask synthetic
+        keep = (lab % 17 < 2) & flat_valid
+        keep_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        slot = jnp.where(keep, keep_rank, M)
+        src = jax.random.randint(key, (N,), 0, N, jnp.int32)
+        idx_out = jnp.zeros((M,), jnp.int32).at[slot].set(src, mode="drop")
+        val_out = jnp.zeros((M,), bool).at[slot].set(keep, mode="drop")
+        return idx_out.sum() + val_out.sum()
+
     def f_sample(lab, key):
         idx, sel = capped_class_sample(lab, flat_valid, M, cap=1000, rng=key)
         return idx.sum() + sel.sum()
 
-    @jax.jit
     def f_gather_loss(lab, key, f_all):
         idx = jax.random.randint(key, (M,), 0, N)
-        f = f_all[idx]
-        l = lab[idx]
-        return multi_pos_con_loss(f, l, jnp.ones((M,), bool))
+        return multi_pos_con_loss(f_all[idx], lab[idx], jnp.ones((M,), bool))
 
-    @jax.jit
     def f_e2e(lab, key, f_all):
         idx, sel = capped_class_sample(lab, flat_valid, M, cap=1000, rng=key)
         return multi_pos_con_loss(f_all[idx], lab[idx], sel)
 
-    @jax.jit
     def f_e2e_grad(lab, key, f_all):
         def loss_of(f):
             idx, sel = capped_class_sample(
@@ -150,21 +145,49 @@ def main():
 
         return jax.grad(loss_of)(f_all).sum()
 
-    mk = lambda i: (flat_labels + jnp.int32(i % 3), salt_key(i))
+    # ---- scan-difference timing ----
+    def scan_ms(f, extra, n_long, repeats):
+        @partial(jax.jit, static_argnames=("n",))
+        def loop(lab, key, n, *ex):
+            def body(s_prev, i):
+                k = jax.random.fold_in(
+                    key, i * 2 + (s_prev.astype(jnp.int32) & 1))
+                out = f(lab, k, *ex)
+                return jnp.asarray(out, jnp.float32).reshape(-1)[0], None
+
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+            return s
+
+        med = {}
+        for n in (1, n_long):
+            float(loop(flat_labels, salt_key(n), n, *extra))  # compile
+            ts = []
+            for r in range(repeats):
+                k = salt_key(1000 + 7 * n + r)
+                t0 = time.perf_counter()
+                float(loop(flat_labels, k, n, *extra))  # D2H value fence
+                ts.append(time.perf_counter() - t0)
+            med[n] = float(np.median(ts))
+        return (med[n_long] - med[1]) / (n_long - 1) * 1e3
+
     phases = [
         ("lexsort_ms", f_lexsort, ()),
+        ("sort_gather_ms", f_sort_gather, ()),
         ("median_sort_ms", f_median_sort, ()),
         ("kth_select_ms", f_kth_select, ()),
+        ("compact_ms", f_compact, ()),
         ("sample_full_ms", f_sample, ()),
         ("gather_loss_ms", f_gather_loss, (feats,)),
         ("supcon_e2e_ms", f_e2e, (feats,)),
         ("supcon_grad_ms", f_e2e_grad, (feats,)),
     ]
-    print(f"# supcon breakdown  N={N} M={M}")
-    out = {"N": N, "M": M}
+    print(f"# supcon breakdown  N={N} M={M} (scan-difference, "
+          f"iters={args.iters})")
+    out = {"N": N, "M": M, "iters": args.iters}
     for name, fn, extra in phases:
-        out[name] = timed(fn, mk, args.iters, *extra)
+        out[name] = round(scan_ms(fn, extra, args.iters, args.repeats), 3)
         print(f"{name:>16}: {out[name]:8.2f}", flush=True)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
