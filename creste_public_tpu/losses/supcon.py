@@ -103,12 +103,21 @@ def capped_class_sample(
     else:
         pri = jax.random.uniform(rng, (N,))
 
-    # Sort by (invalid-last, label, random priority).
+    # Sort by (invalid-last, label, random priority) via one multi-operand
+    # lax.sort carrying the index payload. supcon_bench (round 5, real
+    # chip) measured the 1M-element sort itself at ~1.6 ms but the two
+    # post-sort gathers `key_label[order]` / `valid[order]` at ~19 ms —
+    # random 1M-gathers are update-serialization-bound like the splat
+    # scatter. The sorted keys come out of the sort for free, and
+    # validity is recovered by comparing against the sentinel (valid
+    # labels are < 2^30: remap_labels_per_batch emits b*2^20 + instance).
     big = jnp.asarray(2 ** 30, labels.dtype)
     key_label = jnp.where(valid, labels, big)
-    order = jnp.lexsort((pri, key_label))
-    sorted_labels = key_label[order]
-    sorted_valid = valid[order]
+    sorted_labels, _, order = jax.lax.sort(
+        (key_label, pri, jnp.arange(N, dtype=jnp.int32)),
+        num_keys=2, is_stable=True,
+    )
+    sorted_valid = sorted_labels != big
 
     # Rank within class: position - first index of this label value.
     pos = jnp.arange(N)
@@ -156,10 +165,12 @@ def capped_class_sample(
     keep_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
     slot = jnp.where(keep, keep_rank, max_samples)
     idx_out = jnp.full((max_samples,), 0, jnp.int32)
-    valid_out = jnp.zeros((max_samples,), bool)
-    idx_out = idx_out.at[slot].set(order.astype(jnp.int32), mode="drop")
-    valid_out = valid_out.at[slot].set(keep, mode="drop")
-    # slots beyond the kept count stay invalid
+    idx_out = idx_out.at[slot].set(order, mode="drop")
+    # kept elements occupy slots 0..n_kept-1 densely (keep_rank is a
+    # prefix count), so slot validity is just a range test — no second
+    # full-N-update scatter
+    n_kept = keep_rank[-1] + 1
+    valid_out = jnp.arange(max_samples) < jnp.minimum(n_kept, max_samples)
     return idx_out, valid_out
 
 

@@ -10,6 +10,7 @@ the loss body over N = B*H*W = 1M pixels:
   median_sort   the retired full-N-sort median path, for comparison
   compact       the 1M-update slot-compaction scatter alone (synthetic
                 keep mask — the stream-compaction cost floor)
+  compact_topk  candidate replacement: top_k on a keep-score + M-gather
   sample_full   capped_class_sample end-to-end
   gather_loss   feature gather + multi_pos_con_loss at M=max_samples
   supcon_e2e    the whole loss body (sample + gather + loss)
@@ -125,6 +126,17 @@ def main():
         val_out = jnp.zeros((M,), bool).at[slot].set(keep, mode="drop")
         return idx_out.sum() + val_out.sum()
 
+    def f_compact_topk(lab, key):
+        # candidate replacement for the scatter compaction: top_k on a
+        # keep-score (kept elements get descending N-pos, so the top M
+        # come out in ascending position order), then an M-sized gather
+        keep = (lab % 17 < 2) & flat_valid
+        src = jax.random.randint(key, (N,), 0, N, jnp.int32)
+        score = jnp.where(keep, N - jnp.arange(N, dtype=jnp.int32), 0)
+        top, ti = jax.lax.top_k(score, M)
+        idx_out = jnp.where(top > 0, src[ti], 0)
+        return idx_out.sum() + (top > 0).sum()
+
     def f_sample(lab, key):
         idx, sel = capped_class_sample(lab, flat_valid, M, cap=1000, rng=key)
         return idx.sum() + sel.sum()
@@ -176,6 +188,7 @@ def main():
         ("median_sort_ms", f_median_sort, ()),
         ("kth_select_ms", f_kth_select, ()),
         ("compact_ms", f_compact, ()),
+        ("compact_topk_ms", f_compact_topk, ()),
         ("sample_full_ms", f_sample, ()),
         ("gather_loss_ms", f_gather_loss, (feats,)),
         ("supcon_e2e_ms", f_e2e, (feats,)),
