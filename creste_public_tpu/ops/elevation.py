@@ -91,10 +91,16 @@ def lower_upper_elevation(
     # points below ground are skipped entirely; fold them into the e=0 start
     e_eff = jnp.where(ok, jnp.maximum(e, 0.0), jnp.inf)
 
-    # global segment sort by (cell, elevation)
-    order = jnp.lexsort((e_eff, jnp.where(ok, cell, n_cells)))
-    se = e_eff[order]
-    sc = jnp.where(ok, cell, n_cells)[order]
+    # global segment sort by (cell, elevation); multi-operand sort emits
+    # the sorted operands directly — the index permutation is never
+    # needed, and post-sort [N]-gathers are update-serialization-bound
+    # (supcon_bench round 5: two 1M gathers cost ~19 ms vs ~2 ms for the
+    # sort itself)
+    sc, se, order = jax.lax.sort(
+        (jnp.where(ok, cell, n_cells), e_eff,
+         jnp.arange(N, dtype=jnp.int32)),
+        num_keys=2, is_stable=True,
+    )
     pos = jnp.arange(N)
     seg_first = jnp.concatenate(
         [jnp.ones((1,), bool), sc[1:] != sc[:-1]]
@@ -296,9 +302,9 @@ def reference_elevation_maps(
     # (nlowest=None -> rank 0 = plain min)
     rank_want = ((nlowest - 1) // 2) if nlowest else 0
     cellv = jnp.where(valid, cell, n_cells)
-    order = jnp.lexsort((z, cellv))
-    sc = cellv[order]
-    sz = z[order]
+    # multi-operand sort: sorted (cell, z) directly, no index permutation
+    # + post-sort gathers (see the gap-scan kernel above)
+    sc, sz = jax.lax.sort((cellv, z), num_keys=2, is_stable=True)
     pos = jnp.arange(N)
     seg_first = jnp.concatenate([jnp.ones((1,), bool), sc[1:] != sc[:-1]])
     seg_start = jax.lax.associative_scan(
